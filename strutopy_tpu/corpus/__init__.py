@@ -1,0 +1,9 @@
+from strutopy_tpu.corpus.bow import (
+    PaddedCorpus,
+    Vocabulary,
+    pad_corpus,
+    create_dtm,
+    to_bow,
+)
+
+__all__ = ["PaddedCorpus", "Vocabulary", "pad_corpus", "create_dtm", "to_bow"]

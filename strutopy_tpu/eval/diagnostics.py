@@ -1,0 +1,146 @@
+"""Topic-quality diagnostics: FREX, labels, thoughts, coherence, exclusivity.
+
+FREX/label_topics/find_thoughts mirror the reference
+(src/modules/stm.py:1151-1259).  Semantic coherence and exclusivity are
+README-promised by the reference (README.md:36-38) but absent from its
+code; they are implemented here from the standard definitions (Mimno et
+al. 2011; Roberts et al. / R-stm ``exclusivity``), closing the gap
+noted in SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from strutopy_tpu.corpus.bow import PaddedCorpus, create_dtm
+
+
+def ecdf(arr: np.ndarray) -> np.ndarray:
+    """Empirical CDF by max-rank (reference ecdf, stm.py:1257-1259)."""
+    arr = np.asarray(arr)
+    # max-rank of ties = count of values <= x, i.e. rankdata(method="max")
+    sorted_vals = np.sort(arr)
+    ranks = np.searchsorted(sorted_vals, arr, side="right")
+    return ranks / arr.size
+
+
+def frex(beta: np.ndarray, w: float = 0.5) -> np.ndarray:
+    """FREX score matrix (K, V) (reference frex, stm.py:1203-1219).
+
+    Harmonic mean of the within-topic ECDF of log-exclusivity
+    (column-logsumexp-normalized log beta) and of log-frequency.
+    """
+    beta = np.asarray(beta, np.float64)
+    with np.errstate(divide="ignore"):
+        logbeta = np.log(beta)
+    col_lse = _logsumexp(logbeta, axis=0)
+    log_exclusivity = logbeta - col_lse[None, :]
+    exclusivity_ecdf = np.apply_along_axis(ecdf, 1, log_exclusivity)
+    freq_ecdf = np.apply_along_axis(ecdf, 1, logbeta)
+    return 1.0 / (w / exclusivity_ecdf + (1 - w) / freq_ecdf)
+
+
+def _logsumexp(a, axis):
+    m = np.max(a, axis=axis, keepdims=True)
+    m = np.where(np.isfinite(m), m, 0.0)
+    return (m + np.log(np.sum(np.exp(a - m), axis=axis, keepdims=True))).squeeze(axis)
+
+
+def label_topics(
+    beta: np.ndarray,
+    vocab,
+    topics: Optional[Sequence[int]] = None,
+    n: int = 10,
+    frexweight: float = 0.5,
+    print_labels: bool = False,
+):
+    """Top-n words per topic by probability and by FREX
+    (reference label_topics, stm.py:1151-1201).
+    """
+    assert n >= 1, "n must be 1 or greater"
+    beta = np.asarray(beta, np.float64)
+    if beta.ndim == 3:  # content model: marginalize aspects for labeling
+        beta = beta.mean(axis=0)
+    K = beta.shape[0]
+    topics = range(K) if topics is None else topics
+
+    fx = frex(beta, w=frexweight)
+    problabels = np.argsort(-beta, axis=1)[:, :n]
+    frexlabels = np.argsort(-fx, axis=1)[:, :n]
+
+    out_prob, out_frex = [], []
+    for k in topics:
+        probwords = [vocab[i] for i in problabels[k]]
+        frexwords = [vocab[i] for i in frexlabels[k]]
+        if print_labels:
+            print(f"Topic {k}:\n \t Highest Prob: {probwords}")
+            print(f"Topic {k}:\n \t FREX: {frexwords}")
+        out_prob.append(probwords)
+        out_frex.append(frexwords)
+    return out_prob, out_frex
+
+
+def find_thoughts(
+    theta: np.ndarray,
+    topics: Sequence[int],
+    threshold: float = 0.0,
+    n: int = 3,
+):
+    """Most representative documents per topic
+    (reference find_thoughts, stm.py:1221-1255).
+    """
+    theta = np.asarray(theta)
+    N = theta.shape[0]
+    n = min(n, N)
+    results = []
+    for k in topics:
+        order = np.argsort(-theta[:, k])[:n]
+        vals = theta[order, k]
+        results.append(order[vals >= threshold])
+    if len(results) == 1:
+        return results[0]
+    return results
+
+
+def exclusivity(beta: np.ndarray, M: int = 10, w: float = 0.7) -> np.ndarray:
+    """Per-topic exclusivity (R-stm ``exclusivity()`` definition).
+
+    FREX with weight ``w`` on exclusivity, summed over each topic's top
+    ``M`` most probable words.  Promised by the reference README
+    (README.md:36-38) but never implemented there.
+    """
+    beta = np.asarray(beta, np.float64)
+    col = beta.sum(axis=0)
+    mat = beta / np.maximum(col[None, :], 1e-300)  # p(topic | word)
+    ex = np.apply_along_axis(ecdf, 1, mat)
+    fr = np.apply_along_axis(ecdf, 1, beta)
+    fx = 1.0 / (w / ex + (1 - w) / fr)
+    top = np.argsort(-beta, axis=1)[:, :M]
+    return np.array([fx[k, top[k]].sum() for k in range(beta.shape[0])])
+
+
+def semantic_coherence(beta: np.ndarray, documents, M: int = 10) -> np.ndarray:
+    """Per-topic semantic coherence (Mimno et al. 2011).
+
+    C_k = sum_{i<j over the top-M words} log((D(v_i, v_j) + 1) / D(v_j))
+    where D counts documents containing the word(s).  Promised by the
+    reference README but never implemented there.
+    """
+    beta = np.asarray(beta, np.float64)
+    K, V = beta.shape
+    dtm = create_dtm(documents, V=V) if not isinstance(documents, np.ndarray) else documents
+    binary = (dtm > 0).astype(np.float64)
+    top = np.argsort(-beta, axis=1)[:, :M]
+    scores = np.zeros(K)
+    for k in range(K):
+        cols = binary[:, top[k]]  # (D, M)
+        co = cols.T @ cols  # (M, M) co-document counts
+        doc_freq = np.diag(co)
+        s = 0.0
+        for i in range(1, M):
+            for j in range(i):
+                s += np.log((co[i, j] + 1.0) / max(doc_freq[j], 1.0))
+        scores[k] = s
+    return scores

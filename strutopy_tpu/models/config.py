@@ -1,0 +1,79 @@
+"""Typed configuration for STM fits.
+
+Single config object replacing both the reference's kwargs surface
+(reference src/modules/stm.py:311-329) and the older nested settings
+dict (reference archive/main.py:51-98) whose drift broke
+heldout.py:100-155 — see SURVEY.md §5 "Config / flag system".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class STMConfig:
+    """Configuration of an STM/CTM fit.
+
+    Field names mirror the reference ``STM.__init__`` kwargs
+    (reference src/modules/stm.py:311-329) so users of the reference
+    can map 1:1; TPU-execution knobs are grouped at the bottom.
+    """
+
+    K: int
+    # topical content
+    content: bool = False
+    A: int = 1
+    kappa_interactions: bool = False
+    lda_beta: bool = True
+    # prevalence regression
+    model_type: str = "STM"  # "STM" | "CTM"
+    mode: str = "ols"  # "ols" | "ridge" | "lasso"
+    fit_intercept: bool = True
+    ridge_alpha: float = 0.1  # matches reference Ridge(alpha=0.1), stm.py:685
+    lasso_alpha: float = 1.0  # matches reference Lasso(alpha=1), stm.py:679
+    # EM loop
+    max_em_iter: int = 100
+    convergence_threshold: float = 1e-5
+    sigma_prior: float = 0.0
+    # initialization
+    init_type: str = "spectral"  # "spectral" | "random"
+    seed: int = 123456  # reference seeds numpy with 123456 (stm.py:361)
+    spectral_max_v: int = 5000  # reference maxV default (stm.py:422)
+    # content-model (kappa) Poisson regression
+    kappa_l2: float = 250.0  # reference alpha=250 (stm.py:758)
+    kappa_newton_iters: int = 40
+    # E-step solver
+    newton_max_iters: int = 24
+    newton_grad_tol: float = 1e-5  # scipy BFGS gtol default the reference relies on
+    newton_max_backtracks: int = 12
+    # execution
+    batch_size: int = 1024  # docs per E-step scan chunk (per device)
+    dtype: str = "float32"
+    use_pallas: bool = False  # fused Pallas E-step kernel (TPU only)
+
+    def __post_init__(self):
+        if self.K < 2:
+            raise ValueError("Number of topics K must be >= 2")
+        if self.model_type not in ("STM", "CTM"):
+            raise ValueError(f"model_type must be STM or CTM, got {self.model_type}")
+        if self.mode not in ("ols", "ridge", "lasso"):
+            raise ValueError(f"mode must be ols/ridge/lasso, got {self.mode}")
+        if self.init_type not in ("spectral", "random"):
+            raise ValueError(f"init_type must be spectral or random, got {self.init_type}")
+        if not 0.0 <= self.sigma_prior <= 1.0:
+            raise ValueError("sigma_prior must be in [0, 1]")
+        if self.content and self.A < 2:
+            raise ValueError("content=True requires A >= 2 aspects")
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "STMConfig":
+        return cls(**json.loads(s))
+
+    def replace(self, **kw) -> "STMConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,324 @@
+"""The user-facing STM estimator.
+
+API mirrors the reference ``STM`` class (src/modules/stm.py:311-399 and
+its post-fit methods) so reference users can switch 1:1, while the
+execution engine is the jitted/sharded EM step of
+strutopy_tpu/models/em.py.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import pickle
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from strutopy_tpu.corpus.bow import PaddedCorpus, Vocabulary, pad_corpus
+from strutopy_tpu.models.config import STMConfig
+from strutopy_tpu.models.em import CorpusData, make_em_step
+from strutopy_tpu.models.state import STMState, init_state
+from strutopy_tpu.ops import mstep
+from strutopy_tpu.ops.spectral import spectral_init
+from strutopy_tpu.eval import diagnostics
+
+logger = logging.getLogger(__name__)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class STM:
+    """Structural Topic Model, TPU-native.
+
+    Reference-compatible construction (src/modules/stm.py:311-329)::
+
+        model = STM(documents, dictionary, content=False, K=10, X=meta,
+                    kappa_interactions=False, max_em_iter=25,
+                    sigma_prior=0, convergence_threshold=1e-5,
+                    init_type="random", model_type="STM", mode="ols")
+        model.expectation_maximization(saving=True, output_dir=...)
+
+    ``documents`` may be the reference's BoW list-of-tuples or a
+    :class:`PaddedCorpus`.  Pass ``mesh`` (a 1-D ``jax.sharding.Mesh``)
+    to shard documents across devices.
+    """
+
+    def __init__(
+        self,
+        documents,
+        dictionary=None,
+        content: bool = False,
+        K: int = 10,
+        X=None,
+        kappa_interactions: bool = False,
+        max_em_iter: int = 100,
+        sigma_prior: float = 0.0,
+        convergence_threshold: float = 1e-5,
+        lda_beta: bool = True,
+        beta_index=None,
+        A: Optional[int] = None,
+        dtype=np.float32,
+        init_type: str = "spectral",
+        model_type: str = "STM",
+        mode: str = "ols",
+        config: Optional[STMConfig] = None,
+        mesh=None,
+        batch_size: Optional[int] = None,
+        seed: int = 123456,
+    ):
+        if config is None:
+            config = STMConfig(
+                K=K,
+                content=content,
+                A=A if A is not None else (2 if content else 1),
+                kappa_interactions=kappa_interactions,
+                lda_beta=lda_beta and not content,
+                model_type=model_type,
+                mode=mode,
+                max_em_iter=max_em_iter,
+                convergence_threshold=convergence_threshold,
+                sigma_prior=sigma_prior,
+                init_type=init_type,
+                seed=seed,
+            )
+        if batch_size is not None:
+            config = config.replace(batch_size=batch_size)
+        self.config = config
+        self.mesh = mesh
+
+        # ----- corpus -----
+        if isinstance(documents, PaddedCorpus):
+            corpus = documents
+        else:
+            corpus = pad_corpus(documents, V=len(dictionary) if dictionary is not None else None)
+        if dictionary is None:
+            dictionary = Vocabulary.from_corpus(corpus)
+        self.dictionary = dictionary
+        self.V = max(corpus.V, len(dictionary))
+        if corpus.V < self.V:
+            corpus = PaddedCorpus(corpus.words, corpus.counts, corpus.doc_ok, self.V)
+        self._corpus = corpus
+        self.N = corpus.n_docs
+        self.K = config.K
+        self.A = config.A
+
+        # pad documents to (devices * batch) granularity
+        n_dev = 1 if mesh is None else mesh.devices.size
+        per_dev = -(-corpus.N // n_dev)
+        B = min(config.batch_size, _round_up(per_dev, 8))
+        self.config = config = config.replace(batch_size=B)
+        N_pad = _round_up(per_dev, B) * n_dev
+        corpus = corpus.pad_docs_to(N_pad)
+        self._padded = corpus
+
+        # ----- covariates -----
+        self.X = np.asarray(X) if X is not None else None
+        X_pad = None
+        if self.X is not None:
+            Xa = self.X if self.X.ndim > 1 else self.X[:, None]
+            X_pad = np.zeros((N_pad, Xa.shape[1]), np.float64)
+            X_pad[: Xa.shape[0]] = Xa
+        self._D_np, self._design = mstep.make_prevalence_design(
+            X_pad, corpus.doc_ok, fit_intercept=config.fit_intercept
+        )
+
+        aspects = np.zeros(N_pad, np.int32)
+        if config.content:
+            if beta_index is None:
+                raise ValueError("content=True requires beta_index (per-doc aspect)")
+            bi = np.asarray(beta_index).astype(np.int32).ravel()
+            aspects[: len(bi)] = bi
+        self.betaindex = aspects
+
+        self._kappa_design = (
+            mstep.build_kappa_design(config.K, config.A, True) if config.content else None
+        )
+        self._wcounts = corpus.word_counts()
+
+        # ----- init -----
+        np_rng = np.random.RandomState(config.seed)
+        if config.init_type == "spectral":
+            beta_init = spectral_init(
+                corpus, config.K, self.V, maxV=config.spectral_max_v
+            )
+        else:
+            # normalized Gamma(0.1, 1) rows (reference stm.py:425-428)
+            g = np_rng.gamma(0.1, 1.0, (config.K, self.V))
+            beta_init = g / np.maximum(g.sum(axis=1, keepdims=True), 1e-300)
+
+        self._state = init_state(
+            jax.random.PRNGKey(config.seed),
+            K=config.K,
+            V=self.V,
+            N=N_pad,
+            P=self._D_np.shape[1],
+            A=config.A,
+            content=config.content,
+            beta_init=jnp.asarray(beta_init),
+        )
+
+        self._data = CorpusData(
+            words=jnp.asarray(corpus.words),
+            counts=jnp.asarray(corpus.counts),
+            aspects=jnp.asarray(aspects),
+            doc_ok=jnp.asarray(corpus.doc_ok),
+            D=jnp.asarray(self._D_np, jnp.float32),
+        )
+
+        if mesh is not None:
+            from strutopy_tpu.parallel.sharding import (
+                make_sharded_em_step,
+                shard_corpus,
+                shard_state,
+            )
+
+            self._data = shard_corpus(mesh, self._data)
+            self._state = shard_state(mesh, self._state, config.content)
+            self._em_step = make_sharded_em_step(
+                mesh, config, self._design, self._kappa_design, self._wcounts
+            )
+        else:
+            self._em_step = make_em_step(
+                config, self._design, self._kappa_design, self._wcounts
+            )
+
+        self.last_bounds: list = []
+        self.time_processed: Optional[float] = None
+
+    # ------------------------------------------------------------------
+    # fitting
+    # ------------------------------------------------------------------
+
+    def expectation_maximization(self, saving: bool = False, output_dir=None):
+        """Run EM until convergence (reference stm.py:855-880)."""
+        cfg = self.config
+        t0 = time.time()
+        logger.info("Fit %s for %d topics", cfg.model_type, cfg.K)
+        for it in range(cfg.max_em_iter):
+            self._state = self._em_step(self._state, self._data)
+            bound = float(self._state.bound)
+            self.last_bounds.append(bound)
+            logger.info("EM iteration %d: bound %.4f", it, bound)
+            if it >= 1:
+                old = self.last_bounds[-2]
+                rel = abs((bound - old) / abs(old)) if old != 0 else np.inf
+                if rel < cfg.convergence_threshold:
+                    self.time_processed = time.time() - t0
+                    logger.info(
+                        "converged in iteration %d after %.2fs", it, self.time_processed
+                    )
+                    break
+        if self.time_processed is None:
+            self.time_processed = time.time() - t0
+            logger.info(
+                "max EM iterations (%d) reached after %.2fs",
+                cfg.max_em_iter,
+                self.time_processed,
+            )
+        if saving:
+            assert output_dir is not None
+            self.save_model(output_dir)
+        return self
+
+    fit = expectation_maximization
+
+    # ------------------------------------------------------------------
+    # fitted parameters (padding documents trimmed)
+    # ------------------------------------------------------------------
+
+    @property
+    def beta(self) -> np.ndarray:
+        return np.asarray(self._state.beta)
+
+    @property
+    def theta(self) -> np.ndarray:
+        return np.asarray(self._state.theta)[: self.N]
+
+    @property
+    def eta(self) -> np.ndarray:
+        return np.asarray(self._state.eta)[: self.N]
+
+    @property
+    def mu(self) -> np.ndarray:
+        return np.asarray(self._state.mu)[: self.N]
+
+    @property
+    def sigma(self) -> np.ndarray:
+        return np.asarray(self._state.sigma)
+
+    @property
+    def gamma(self) -> np.ndarray:
+        return np.asarray(self._state.gamma)
+
+    @property
+    def kappa(self) -> np.ndarray:
+        return np.asarray(self._state.kappa)
+
+    @property
+    def bound(self) -> float:
+        return float(self._state.bound)
+
+    @property
+    def wcounts(self) -> np.ndarray:
+        return self._wcounts
+
+    # ------------------------------------------------------------------
+    # persistence (reference save_model artifact contract, stm.py:1120-1149)
+    # ------------------------------------------------------------------
+
+    def save_model(self, output_dir):
+        os.makedirs(output_dir, exist_ok=True)
+        np.save(os.path.join(output_dir, "beta_hat"), self.beta)
+        np.save(os.path.join(output_dir, "theta_hat"), self.theta)
+        np.save(os.path.join(output_dir, "sigma_hat"), self.sigma)
+        np.save(os.path.join(output_dir, "eta_hat"), self.eta)
+        np.save(os.path.join(output_dir, "mu_hat"), self.mu)
+        if self.X is not None:
+            np.save(os.path.join(output_dir, "X"), self.X)
+        if self.config.model_type == "STM":
+            np.save(os.path.join(output_dir, "gamma_hat"), self.gamma)
+        if self.config.content:
+            np.save(os.path.join(output_dir, "kappa_hat"), self.kappa)
+        with open(os.path.join(output_dir, "lower_bound.pickle"), "wb") as f:
+            pickle.dump(self.last_bounds, f)
+        with open(os.path.join(output_dir, "stm_config.json"), "w") as f:
+            f.write(self.config.to_json())
+
+    # ------------------------------------------------------------------
+    # post-fit analysis (reference stm.py:1151-1259)
+    # ------------------------------------------------------------------
+
+    def label_topics(self, topics=None, n: int = 10, frexweight: float = 0.5,
+                     print_labels: bool = False):
+        return diagnostics.label_topics(
+            self.beta, self.dictionary, topics=topics, n=n,
+            frexweight=frexweight, print_labels=print_labels,
+        )
+
+    def frex(self, w: float = 0.5) -> np.ndarray:
+        beta = self.beta
+        if beta.ndim == 3:
+            beta = beta.mean(axis=0)
+        return diagnostics.frex(beta, w=w)
+
+    def find_thoughts(self, topics, threshold: float = 0.0, n: int = 3):
+        return diagnostics.find_thoughts(self.theta, topics, threshold=threshold, n=n)
+
+    def exclusivity(self, M: int = 10, w: float = 0.7) -> np.ndarray:
+        beta = self.beta
+        if beta.ndim == 3:
+            beta = beta.mean(axis=0)
+        return diagnostics.exclusivity(beta, M=M, w=w)
+
+    def semantic_coherence(self, M: int = 10) -> np.ndarray:
+        beta = self.beta
+        if beta.ndim == 3:
+            beta = beta.mean(axis=0)
+        return diagnostics.semantic_coherence(beta, self._corpus, M=M)

@@ -1,0 +1,346 @@
+"""M-step: global parameter updates from psummed sufficient statistics.
+
+Reference semantics (src/modules/stm.py:622-853):
+  * update_mu  — prevalence regression of eta on covariates
+    (sklearn OLS/Ridge(0.1)/Lasso(1), stm.py:636-711),
+  * update_sigma — covariance + shrinkage (stm.py:713-728),
+  * update_beta  — row normalization (LDA-style) or the topical-content
+    model: V independent Poisson regressions (mnreg, stm.py:749-853).
+
+TPU-native design: every update is expressed in terms of small, dense
+*moment* statistics (D^T eta, D^T D, eta^T eta, sum eta, beta_ss,
+sigma_ss) that are psummed over the document mesh axis, so the M-step
+itself runs replicated as a handful of (K|P)-sized linear-algebra ops:
+  * OLS/ridge -> one posdef solve of the normal equations,
+  * lasso     -> FISTA on the same moments (prox-gradient),
+  * mnreg     -> one vmapped damped-Newton GLM over the V words
+    (replacing the reference's python loop of sklearn PoissonRegressor
+    fits — and fixing its per-word column bug (stm.py:825: uses
+    counts[:, [1]] for every word) and its A=2 hardcode (stm.py:762)).
+
+Deviations from the reference (see PARITY_NOTES.md): the fitted
+intercept is *used* in mu (the reference computes it and then
+unconditionally discards it, stm.py:697-704), and the kappa design
+matrix drops the reference's dead all-zero column (stm.py:777).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class PrevalenceDesign(NamedTuple):
+    """Static (small, replicated) design info for the prevalence regression.
+
+    The full (N, P) design matrix itself is per-document data and lives
+    sharded in ``CorpusData.D``; it includes the intercept column (if
+    fit_intercept) and has all-zero rows for padding documents so they
+    drop out of every moment.
+    """
+
+    DtD: jax.Array  # (P, P)
+    pen_mask: jax.Array  # (P,) 1.0 where penalized (0.0 on intercept)
+    n_docs: jax.Array  # scalar: number of real documents
+
+
+class EtaMoments(NamedTuple):
+    Dt_eta: jax.Array  # (P, K-1)
+    eta_sum: jax.Array  # (K-1,)
+
+
+def build_design(
+    X: Optional[np.ndarray],
+    doc_ok: np.ndarray,
+    fit_intercept: bool = True,
+    one_hot_threshold: bool = True,
+) -> np.ndarray:
+    """Host-side design matrix construction.
+
+    Mirrors reference update_mu's input handling (stm.py:657-671):
+    non-boolean 1-D covariates are one-hot encoded; boolean/numeric
+    arrays pass through.  Appends an intercept column, and zeroes the
+    rows of padding documents.
+    """
+    N = len(doc_ok)
+    cols = []
+    if X is not None:
+        X = np.asarray(X)
+        if X.ndim == 1:
+            X = X[:, None]
+        if X.ndim > 2:
+            X = X.reshape(X.shape[0], -1)
+        X = X.astype(np.float64)
+        is_binary = np.all((X == 0) | (X == 1))
+        if not is_binary and one_hot_threshold and X.shape[1] == 1:
+            levels = np.unique(X[:, 0])
+            if len(levels) <= 32:  # categorical -> one-hot (reference stm.py:669-671)
+                X = (X[:, :1] == levels[None, :]).astype(np.float64)
+        cols.append(X)
+    if fit_intercept or not cols:
+        cols.insert(0, np.ones((N, 1)))
+    D = np.concatenate(cols, axis=1)
+    D = D * doc_ok[:, None].astype(np.float64)
+    return D
+
+
+def make_prevalence_design(
+    X: Optional[np.ndarray],
+    doc_ok: np.ndarray,
+    fit_intercept: bool = True,
+    dtype=jnp.float32,
+):
+    """Returns (D (N,P) numpy, PrevalenceDesign with replicated stats)."""
+    D = build_design(X, doc_ok, fit_intercept=fit_intercept)
+    P = D.shape[1]
+    pen = np.ones(P)
+    if fit_intercept or X is None:
+        pen[0] = 0.0
+    design = PrevalenceDesign(
+        DtD=jnp.asarray(D.T @ D, dtype),
+        pen_mask=jnp.asarray(pen, dtype),
+        n_docs=jnp.asarray(float(doc_ok.sum()), dtype),
+    )
+    return D.astype(np.float32 if dtype == jnp.float32 else np.float64), design
+
+
+def eta_moments(D: jax.Array, eta: jax.Array) -> EtaMoments:
+    """Per-shard moment statistics of eta (psum these across shards)."""
+    return EtaMoments(
+        Dt_eta=D.T @ eta,
+        eta_sum=jnp.sum(eta, axis=0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# prevalence regression (gamma, mu)
+# ---------------------------------------------------------------------------
+
+
+def _fista_lasso(DtD, Dty, pen_mask, n, alpha, iters: int = 600):
+    """FISTA for the sklearn Lasso objective on normal-equation moments:
+    (1/(2n))||y - D w||^2 + alpha * ||w_pen||_1, jointly over targets.
+
+    DtD (P, P); Dty (P, T); returns W (P, T).
+    """
+    P, T = Dty.shape
+    # Lipschitz constant of the smooth part: lambda_max(DtD)/n via power iter
+    def power_body(_, v):
+        v = DtD @ v
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+
+    v0 = jnp.ones((P,), DtD.dtype) / jnp.sqrt(P)
+    v = jax.lax.fori_loop(0, 64, power_body, v0)
+    lam_max = jnp.dot(v, DtD @ v)
+    Lc = jnp.maximum(lam_max / n, 1e-12)
+    step = 1.0 / Lc
+    thresh = step * alpha * pen_mask[:, None]
+
+    def body(_, carry):
+        w, z, t = carry
+        grad = (DtD @ z - Dty) / n
+        w_new = z - step * grad
+        w_new = jnp.sign(w_new) * jnp.maximum(jnp.abs(w_new) - thresh, 0.0)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        z_new = w_new + ((t - 1.0) / t_new) * (w_new - w)
+        return (w_new, z_new, t_new)
+
+    w0 = jnp.zeros((P, T), DtD.dtype)
+    w, _, _ = jax.lax.fori_loop(0, iters, body, (w0, w0, jnp.asarray(1.0, DtD.dtype)))
+    return w
+
+
+def update_prevalence(
+    moments: EtaMoments,
+    design: PrevalenceDesign,
+    model_type: str,
+    mode: str,
+    ridge_alpha: float = 0.1,
+    lasso_alpha: float = 1.0,
+):
+    """Solve for gamma; returns (gamma (K-1, P), mu_fn inputs).
+
+    CTM (reference stm.py:648-651): mu is the column mean of eta.
+    STM: regression of eta on the design (reference stm.py:654-706).
+    """
+    if model_type == "CTM":
+        P = design.DtD.shape[0]
+        Km1 = moments.eta_sum.shape[0]
+        gamma = jnp.zeros((Km1, P), design.DtD.dtype)
+        mu_mean = moments.eta_sum / jnp.maximum(design.n_docs, 1.0)
+        return gamma, mu_mean
+
+    if mode == "ols":
+        gammaT = jnp.linalg.pinv(design.DtD) @ moments.Dt_eta  # min-norm, (P, K-1)
+    elif mode == "ridge":
+        A = design.DtD + ridge_alpha * jnp.diag(design.pen_mask)
+        gammaT = jnp.linalg.solve(A, moments.Dt_eta)
+    elif mode == "lasso":
+        gammaT = _fista_lasso(
+            design.DtD,
+            moments.Dt_eta,
+            design.pen_mask,
+            jnp.maximum(design.n_docs, 1.0),
+            lasso_alpha,
+        )
+    else:
+        raise ValueError(f"unknown prevalence mode {mode}")
+    return gammaT.T, None
+
+
+def compute_mu(D, gamma, mu_mean, doc_ok, model_type: str):
+    """Materialize per-document mu on the local shard."""
+    if model_type == "CTM":
+        mu = jnp.broadcast_to(mu_mean[None, :], (D.shape[0], mu_mean.shape[0]))
+        return mu * doc_ok[:, None].astype(mu.dtype)
+    return D @ gamma.T  # padding rows of D are zero -> mu 0 for dummies
+
+
+# ---------------------------------------------------------------------------
+# sigma update
+# ---------------------------------------------------------------------------
+
+
+def residual_moment(eta: jax.Array, mu: jax.Array) -> jax.Array:
+    """Per-shard (eta - mu)^T (eta - mu) — computed on residuals
+    directly (not by moment expansion, which cancels catastrophically in
+    float32 when mu explains most of eta's variance).  psum across
+    shards.
+    """
+    r = eta - mu
+    return r.T @ r
+
+
+def update_sigma(
+    resid: jax.Array,
+    sigma_ss: jax.Array,
+    n_docs: jax.Array,
+    sigma_prior: float,
+):
+    """sigma = ((eta-mu)^T (eta-mu) + sum nu) / N + diagonal shrinkage
+    (reference stm.py:713-728)."""
+    n = jnp.maximum(n_docs, 1.0)
+    sigma = (resid + sigma_ss) / n
+    sigma = 0.5 * (sigma + sigma.T)
+    return jnp.diag(jnp.diagonal(sigma)) * sigma_prior + (1.0 - sigma_prior) * sigma
+
+
+# ---------------------------------------------------------------------------
+# beta update: LDA-style or content model (kappa)
+# ---------------------------------------------------------------------------
+
+
+def update_beta_lda(beta_ss):
+    """Row-normalize the phi sufficient statistics (reference stm.py:739-745)."""
+    row_sums = jnp.sum(beta_ss, axis=-1, keepdims=True)
+    return jnp.where(row_sums > 0, beta_ss / jnp.maximum(row_sums, 1e-30), 0.0)
+
+
+def build_kappa_design(K: int, A: int, interactions: bool) -> np.ndarray:
+    """Dense covariate design for the content model, ((A*K), P).
+
+    Rows are (aspect a, topic k) in a-major order, matching the
+    reference's concat of per-aspect beta_ss (stm.py:762-764, but with
+    dynamic A).  Columns: K topic indicators, A aspect indicators, and
+    A*K interaction indicators when requested (reference stm.py:767-790,
+    without its dead always-zero column).
+    """
+    if A == 1:
+        return np.eye(K)
+    rows = A * K
+    a_idx = np.repeat(np.arange(A), K)
+    k_idx = np.tile(np.arange(K), A)
+    P = K + A + (A * K if interactions else 0)
+    X = np.zeros((rows, P))
+    X[np.arange(rows), k_idx] = 1.0
+    X[np.arange(rows), K + a_idx] = 1.0
+    if interactions:
+        X[np.arange(rows), K + A + np.arange(rows)] = 1.0
+    return X
+
+
+def _poisson_newton_word(y, m_v, Xd, offset, alpha, n, iters, lp_clip=30.0):
+    """Damped Newton for one word's penalized Poisson regression.
+
+    sklearn PoissonRegressor objective (fit_intercept=False):
+      (1/n) sum_r [exp(z_r) - y_r z_r] + (alpha/2)||w||^2,
+      z = m_v + offset + X w.
+    """
+    P = Xd.shape[1]
+    dtype = Xd.dtype
+
+    def obj(w):
+        z = jnp.clip(m_v + offset + Xd @ w, -lp_clip, lp_clip)
+        return jnp.sum(jnp.exp(z) - y * z) / n + 0.5 * alpha * jnp.dot(w, w)
+
+    def body(_, carry):
+        w, f = carry
+        z = jnp.clip(m_v + offset + Xd @ w, -lp_clip, lp_clip)
+        lam = jnp.exp(z)
+        g = Xd.T @ (lam - y) / n + alpha * w
+        H = (Xd.T * lam[None, :]) @ Xd / n + alpha * jnp.eye(P, dtype=dtype)
+        p = -jnp.linalg.solve(H, g)
+
+        # 6-step halving line search, unrolled (static, cheap: P small)
+        def try_step(t):
+            return obj(w + t * p)
+
+        ts = jnp.asarray([1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125], dtype)
+        fs = jax.vmap(try_step)(ts)
+        best = jnp.argmin(fs)
+        t, fnew = ts[best], fs[best]
+        improved = fnew < f
+        w = jnp.where(improved, w + t * p, w)
+        f = jnp.where(improved, fnew, f)
+        return (w, f)
+
+    w0 = jnp.zeros((P,), dtype)
+    w, _ = jax.lax.fori_loop(0, iters, body, (w0, obj(w0)))
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("A", "interactions", "iters"))
+def update_beta_content(
+    beta_ss,  # (A, K, V) or (K, V)
+    wcounts,  # (V,) corpus-wide word counts
+    kappa_design,  # ((A*K), P) from build_kappa_design
+    alpha: float = 250.0,
+    A: int = 2,
+    interactions: bool = True,
+    iters: int = 40,
+):
+    """Content model: V parallel Poisson regressions -> (beta, kappa).
+
+    Reference mnreg (stm.py:749-853): counts ((A*K), V) = stacked
+    beta_ss; fixed intercept m = log relative word frequency; offset =
+    log row totals; per-word sklearn PoissonRegressor(alpha=250);
+    predictions row-softmaxed into beta.  Here the V fits are one
+    vmapped damped-Newton solve.
+    """
+    dtype = beta_ss.dtype
+    if beta_ss.ndim == 3:
+        counts = beta_ss.reshape(-1, beta_ss.shape[-1])  # ((A*K), V)
+    else:
+        counts = beta_ss
+    V = counts.shape[1]
+    n = jnp.asarray(counts.shape[0], dtype)
+
+    m = jnp.log(jnp.maximum(wcounts, 1e-10)) - jnp.log(jnp.maximum(jnp.sum(wcounts), 1e-10))
+    offset = jnp.log(jnp.maximum(jnp.sum(counts, axis=1), 1e-10))  # ((A*K),)
+    Xd = jnp.asarray(kappa_design, dtype)
+
+    solve = jax.vmap(_poisson_newton_word, in_axes=(1, 0, None, None, None, None, None))
+    kappa_T = solve(counts, m, Xd, offset, jnp.asarray(alpha, dtype), n, iters)  # (V, P)
+    kappa = kappa_T.T  # (P, V)
+
+    linpred = m[None, :] + Xd @ kappa  # ((A*K), V)
+    linpred = linpred - jnp.max(linpred, axis=1, keepdims=True)
+    expl = jnp.exp(linpred)
+    beta = expl / jnp.sum(expl, axis=1, keepdims=True)
+    if beta_ss.ndim == 3:
+        beta = beta.reshape(beta_ss.shape)
+    return beta, kappa

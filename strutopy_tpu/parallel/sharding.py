@@ -1,0 +1,110 @@
+"""Document-sharded EM under ``shard_map`` + ``psum``.
+
+The TPU-native replacement for the reference's serial E-step loop
+(src/modules/stm.py:519) and its joblib/filesystem "backend"
+(src/05_train.py:130-179): documents shard over the ``docs`` mesh axis,
+each device runs the batched Newton E-step on its shard, and the
+sufficient statistics — ``beta_ss (K,V)``, ``sigma_ss ((K-1)^2)``, the
+scalar bound and the eta regression moments — reduce with ``psum`` over
+ICI.  The M-step then runs replicated on every device (it is tiny), and
+the per-document state (eta, theta, mu) never leaves its shard.
+
+Determinism: a psum of per-shard partial sums reorders float additions
+relative to the single-device scan; tests assert 1-vs-8-shard agreement
+to float32 tolerance (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from strutopy_tpu.models.config import STMConfig
+from strutopy_tpu.models.em import CorpusData, em_iteration
+from strutopy_tpu.models.state import STMState
+from strutopy_tpu.ops import mstep
+from strutopy_tpu.parallel.mesh import DOC_AXIS
+
+
+def _state_specs(content: bool):
+    """PartitionSpecs for STMState: per-doc arrays shard, params replicate."""
+    return STMState(
+        beta=P(),
+        mu=P(DOC_AXIS),
+        sigma=P(),
+        eta=P(DOC_AXIS),
+        theta=P(DOC_AXIS),
+        gamma=P(),
+        kappa=P(),
+        bound=P(),
+    )
+
+
+def _data_specs():
+    return CorpusData(
+        words=P(DOC_AXIS),
+        counts=P(DOC_AXIS),
+        aspects=P(DOC_AXIS),
+        doc_ok=P(DOC_AXIS),
+        D=P(DOC_AXIS),
+    )
+
+
+def make_sharded_em_step(
+    mesh: Mesh,
+    cfg: STMConfig,
+    design: mstep.PrevalenceDesign,
+    kappa_design,
+    wcounts,
+):
+    """Build the sharded EM step: (state, data) -> state.
+
+    ``data`` and the per-document parts of ``state`` must be sharded
+    over ``mesh`` along the document axis (see :func:`shard_corpus`).
+    """
+    state_specs = _state_specs(cfg.content)
+    data_specs = _data_specs()
+
+    def _em_local(state: STMState, data: CorpusData) -> STMState:
+        return em_iteration(
+            state,
+            data,
+            design,
+            kappa_design,
+            wcounts,
+            cfg,
+            psum=lambda x: jax.lax.psum(x, DOC_AXIS),
+        )
+
+    sharded = jax.shard_map(
+        _em_local,
+        mesh=mesh,
+        in_specs=(state_specs, data_specs),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def shard_corpus(mesh: Mesh, data: CorpusData) -> CorpusData:
+    """Place corpus arrays on the mesh, sharded along documents."""
+    specs = _data_specs()
+    return CorpusData(
+        *(
+            jax.device_put(x, NamedSharding(mesh, s))
+            for x, s in zip(tuple(data), tuple(specs))
+        )
+    )
+
+
+def shard_state(mesh: Mesh, state: STMState, content: bool = False) -> STMState:
+    specs = _state_specs(content)
+    return STMState(
+        *(
+            jax.device_put(x, NamedSharding(mesh, s))
+            for x, s in zip(tuple(state), tuple(specs))
+        )
+    )

@@ -1,0 +1,170 @@
+"""Float64 NumPy/SciPy oracle implementation of the STM EM step.
+
+Serves two purposes:
+  1. correctness oracle for tests (same math contract as the reference
+     src/modules/stm.py, with its two numerical bugs fixed: the
+     gradient's missing e^eta scaling (stm.py:946-958) and the
+     elementwise-product "inverse" of sigma (stm.py:501) — see
+     PARITY_NOTES.md);
+  2. the measured CPU baseline for bench.py: this is the
+     reference-equivalent per-document scipy BFGS E-step whose
+     docs/sec the TPU E-step is compared against (BASELINE.md).
+
+Intentionally written the way the reference is architected — a serial
+python loop over documents calling scipy.optimize.minimize — so the
+baseline measurement is honest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.optimize
+import scipy.special
+
+
+def doc_f(eta, c, beta_doc, mu, siginv):
+    eta_full = np.append(eta, 0.0)
+    Nd = c.sum()
+    s = np.exp(eta_full) @ beta_doc
+    diff = eta - mu
+    return 0.5 * diff @ siginv @ diff - (
+        c @ np.log(np.maximum(s, 1e-300)) - Nd * scipy.special.logsumexp(eta_full)
+    )
+
+
+def doc_grad(eta, c, beta_doc, mu, siginv):
+    eta_full = np.append(eta, 0.0)
+    Nd = c.sum()
+    e = np.exp(eta_full)
+    a = e[:, None] * beta_doc
+    s = np.maximum(a.sum(axis=0), 1e-300)
+    theta = e / e.sum()
+    return siginv @ (eta - mu) + (Nd * theta - (a / s) @ c)[:-1]
+
+
+def doc_hess(eta, c, beta_doc, mu, siginv):
+    K = beta_doc.shape[0]
+    eta_full = np.append(eta, 0.0)
+    Nd = c.sum()
+    e = np.exp(eta_full)
+    a = e[:, None] * beta_doc
+    s = np.maximum(a.sum(axis=0), 1e-300)
+    phi_hat = a / s
+    theta = e / e.sum()
+    B = phi_hat * np.sqrt(c)
+    q = phi_hat @ c
+    H = B @ B.T - Nd * np.outer(theta, theta) + np.diag(Nd * theta - q)
+    return H[: K - 1, : K - 1] + siginv
+
+
+def make_pd(M):
+    dvec = np.diagonal(M).copy()
+    mag = np.abs(M).sum(axis=1) - np.abs(dvec)
+    dvec = np.maximum(dvec, mag)
+    out = M.copy()
+    np.fill_diagonal(out, dvec)
+    return out
+
+
+def safe_chol(H, jitter=1e-5):
+    try:
+        return np.linalg.cholesky(H)
+    except np.linalg.LinAlgError:
+        try:
+            return np.linalg.cholesky(make_pd(H))
+        except np.linalg.LinAlgError:
+            return np.linalg.cholesky(make_pd(H) + jitter * np.eye(H.shape[0]))
+
+
+def e_step(documents, beta, mu, eta, sigma, betaindex=None, interactions=False):
+    """Serial per-document E-step (the reference's architecture,
+    stm.py:489-597).  documents: BoW list of [(idx, count), ...].
+
+    Returns (beta_ss, sigma_ss, bound, eta_new, theta).
+    """
+    N = len(documents)
+    K = beta.shape[-2]
+    L_s = np.linalg.cholesky(sigma)
+    sigmaentropy = np.log(np.diag(L_s)).sum()
+    Linv = np.linalg.inv(L_s)
+    siginv = Linv.T @ Linv
+
+    beta_ss = np.zeros(beta.shape)
+    sigma_ss = np.zeros((K - 1, K - 1))
+    bound = 0.0
+    eta_new = np.zeros((N, K - 1))
+    theta_all = np.zeros((N, K))
+
+    for i, doc in enumerate(documents):
+        ids = np.asarray([w for w, _ in doc], np.int64)
+        c = np.asarray([ct for _, ct in doc], np.float64)
+        if interactions:
+            beta_doc = beta[betaindex[i]][:, ids]
+        else:
+            beta_doc = beta[:, ids]
+        res = scipy.optimize.minimize(
+            doc_f,
+            eta[i],
+            args=(c, beta_doc, mu[i], siginv),
+            jac=doc_grad,
+            method="BFGS",
+        )
+        et = res.x
+        eta_new[i] = et
+        eta_full = np.append(et, 0.0)
+        e = np.exp(eta_full - eta_full.max())
+        theta = e / e.sum()
+        theta_all[i] = theta
+
+        H = doc_hess(et, c, beta_doc, mu[i], siginv)
+        L = safe_chol(H)
+        Linv_h = np.linalg.inv(L)
+        nu = Linv_h.T @ Linv_h
+        sigma_ss += nu
+
+        a = np.exp(eta_full)[:, None] * beta_doc
+        s = np.maximum(a.sum(axis=0), 1e-300)
+        phi = a / s * c
+        if interactions:
+            np.add.at(beta_ss[betaindex[i]], (slice(None), ids), phi)
+        else:
+            np.add.at(beta_ss, (slice(None), ids), phi)
+
+        diff = et - mu[i]
+        bound += (
+            c @ np.log(np.maximum(theta @ (beta_doc * np.exp(eta_full)[:, None]), 1e-300))
+            - np.log(np.diag(L)).sum()
+            - 0.5 * diff @ siginv @ diff
+            - sigmaentropy
+        )
+
+    return beta_ss, sigma_ss, bound, eta_new, theta_all
+
+
+def m_step_ctm_lda(beta_ss, sigma_ss, eta, N, sigma_prior=0.0):
+    """CTM prevalence (column-mean mu) + LDA beta row-normalization."""
+    mu_row = eta.mean(axis=0)
+    mu = np.tile(mu_row, (N, 1))
+    resid = (eta - mu).T @ (eta - mu)
+    sigma = (resid + sigma_ss) / N
+    sigma = np.diag(np.diag(sigma)) * sigma_prior + (1 - sigma_prior) * sigma
+    rs = beta_ss.sum(axis=-1, keepdims=True)
+    beta = np.divide(beta_ss, rs, out=np.zeros_like(beta_ss), where=rs > 0)
+    return beta, mu, sigma
+
+
+def fit_ctm_lda(documents, V, K, n_iter=4, seed=123456):
+    """Mini EM driver (CTM + LDA-beta) for oracle comparisons."""
+    rng = np.random.RandomState(seed)
+    g = rng.gamma(0.1, 1.0, (K, V))
+    beta = g / g.sum(axis=1, keepdims=True)
+    N = len(documents)
+    mu = np.zeros((N, K - 1))
+    eta = np.zeros((N, K - 1))
+    sigma = 20.0 * np.eye(K - 1)
+    bounds = []
+    for _ in range(n_iter):
+        beta_ss, sigma_ss, bound, eta, theta = e_step(documents, beta, mu, eta, sigma)
+        beta, mu, sigma = m_step_ctm_lda(beta_ss, sigma_ss, eta, N)
+        bounds.append(bound)
+    return bounds, beta, theta, sigma

@@ -1,0 +1,80 @@
+"""FREX / labels / thoughts / coherence / exclusivity tests.
+
+The reference has NO tests for these (SURVEY.md §4 lists them as
+untested gaps); ecdf/frex are checked against scipy.stats.rankdata —
+the exact machinery the reference uses (stm.py:1257-1259)."""
+
+import numpy as np
+import scipy.special
+import scipy.stats
+
+from strutopy_tpu.eval import diagnostics
+from strutopy_tpu.corpus.bow import Vocabulary
+
+
+def test_ecdf_matches_scipy_rankdata():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=50)
+    x[5] = x[10]  # force a tie
+    expected = scipy.stats.rankdata(x, method="max") / x.size
+    np.testing.assert_allclose(diagnostics.ecdf(x), expected)
+
+
+def test_frex_matches_reference_formula():
+    rng = np.random.default_rng(1)
+    beta = rng.dirichlet(np.ones(30), size=4)
+    w = 0.5
+    got = diagnostics.frex(beta, w=w)
+
+    logbeta = np.log(beta)
+    log_excl = logbeta - scipy.special.logsumexp(logbeta, axis=0)
+    excl_ecdf = np.apply_along_axis(
+        lambda a: scipy.stats.rankdata(a, method="max") / a.size, 1, log_excl
+    )
+    freq_ecdf = np.apply_along_axis(
+        lambda a: scipy.stats.rankdata(a, method="max") / a.size, 1, logbeta
+    )
+    expected = 1.0 / (w / excl_ecdf + (1 - w) / freq_ecdf)
+    np.testing.assert_allclose(got, expected)
+
+
+def test_label_topics():
+    rng = np.random.default_rng(2)
+    beta = rng.dirichlet(np.ones(20), size=3)
+    vocab = Vocabulary([f"w{i}" for i in range(20)])
+    prob, fx = diagnostics.label_topics(beta, vocab, n=5)
+    assert len(prob) == 3 and len(fx) == 3
+    assert all(len(p) == 5 for p in prob)
+    # highest-prob labels really are the argmax words
+    assert prob[0][0] == f"w{np.argmax(beta[0])}"
+
+
+def test_find_thoughts():
+    theta = np.array([[0.9, 0.1], [0.2, 0.8], [0.6, 0.4], [0.1, 0.9]])
+    idx = diagnostics.find_thoughts(theta, topics=[0], n=2)
+    np.testing.assert_array_equal(idx, [0, 2])
+    res = diagnostics.find_thoughts(theta, topics=[0, 1], n=2, threshold=0.85)
+    np.testing.assert_array_equal(res[0], [0])
+    np.testing.assert_array_equal(res[1], [3])
+
+
+def test_exclusivity_range():
+    rng = np.random.default_rng(3)
+    beta = rng.dirichlet(np.ones(50), size=4)
+    ex = diagnostics.exclusivity(beta, M=10, w=0.7)
+    assert ex.shape == (4,)
+    assert np.all(ex > 0) and np.all(ex <= 10.0)
+
+
+def test_semantic_coherence():
+    # a topic whose top words always co-occur scores higher than one
+    # whose top words never do
+    docs_co = [[(0, 1), (1, 1)]] * 10 + [[(2, 1)], [(3, 1)]] * 5
+    beta = np.array(
+        [
+            [0.45, 0.45, 0.05, 0.05],  # words 0,1 co-occur everywhere
+            [0.05, 0.05, 0.45, 0.45],  # words 2,3 never co-occur
+        ]
+    )
+    scores = diagnostics.semantic_coherence(beta, docs_co, M=2)
+    assert scores[0] > scores[1]

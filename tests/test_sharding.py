@@ -1,0 +1,69 @@
+"""Multi-chip determinism: 1-shard vs 8-shard fits must agree.
+
+Runs on the 8 virtual CPU devices forced in conftest.py; validates the
+shard_map + psum E-step (SURVEY.md §4 "multi-chip determinism tests")."""
+
+import numpy as np
+import pytest
+import jax
+
+from strutopy_tpu.models.stm import STM
+from strutopy_tpu.parallel.mesh import make_mesh
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_single_vs_eight_shards(toy_corpus, toy_dictionary, toy_metadata):
+    train_docs = toy_corpus.train_docs
+    X = toy_metadata[: len(train_docs)]
+    kwargs = dict(
+        documents=train_docs,
+        dictionary=toy_dictionary,
+        K=3,
+        X=X,
+        max_em_iter=3,
+        init_type="random",
+        model_type="STM",
+        seed=123456,
+    )
+    m1 = STM(**kwargs)
+    m1.expectation_maximization(saving=False)
+
+    mesh = make_mesh(8)
+    m8 = STM(**kwargs, mesh=mesh)
+    m8.expectation_maximization(saving=False)
+
+    b1 = np.asarray(m1.last_bounds)
+    b8 = np.asarray(m8.last_bounds)
+    np.testing.assert_allclose(b8, b1, rtol=2e-4)
+    np.testing.assert_allclose(m8.beta, m1.beta, atol=2e-4)
+    np.testing.assert_allclose(m8.sigma, m1.sigma, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(m8.theta, m1.theta, atol=2e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_sharded_content_model(toy_corpus, toy_dictionary):
+    """Content model (kappa Poisson regressions) under the doc mesh."""
+    train_docs = toy_corpus.train_docs
+    n = len(train_docs)
+    rng = np.random.default_rng(0)
+    beta_index = rng.integers(0, 2, n)
+    mesh = make_mesh(4)
+    m = STM(
+        documents=train_docs,
+        dictionary=toy_dictionary,
+        K=3,
+        X=beta_index,
+        content=True,
+        A=2,
+        beta_index=beta_index,
+        lda_beta=False,
+        kappa_interactions=True,
+        max_em_iter=2,
+        init_type="random",
+        model_type="STM",
+        mesh=mesh,
+    )
+    m.expectation_maximization(saving=False)
+    assert m.beta.shape == (2, 3, len(toy_dictionary))
+    np.testing.assert_allclose(m.beta.sum(axis=-1), 1.0, atol=1e-4)
+    assert m.kappa.shape[1] == len(toy_dictionary)

@@ -1,0 +1,74 @@
+"""Spectral initialization tests, incl. NNLS-vs-scipy parity for RecoverL2."""
+
+import numpy as np
+import pytest
+import scipy.optimize
+import jax.numpy as jnp
+
+from strutopy_tpu.ops.spectral import fast_anchor, recover_l2, spectral_init
+
+
+def test_recover_l2_matches_scipy_nnls():
+    """Our FISTA NNLS must match scipy.optimize.nnls per word (the
+    reference's quadprog QP with the sign flip is exactly NNLS —
+    see ops/spectral.py docstring)."""
+    rng = np.random.default_rng(0)
+    Vp, K = 30, 4
+    Q = rng.dirichlet(np.ones(Vp), size=Vp).astype(np.float64)
+    anchor = np.array([3, 11, 19, 27], np.int32)
+
+    beta = np.asarray(
+        recover_l2(jnp.asarray(Q, jnp.float32), jnp.asarray(anchor), jnp.asarray(Q.sum(1) / Q.sum(), jnp.float32), iters=2000)
+    )
+
+    M = Q[anchor]
+    wprob = Q.sum(1) / Q.sum()
+    weights = np.zeros((Vp, K))
+    for i in range(Vp):
+        if i in anchor:
+            weights[i, list(anchor).index(i)] = 1.0
+        else:
+            z, _ = scipy.optimize.nnls(M.T, Q[i])
+            weights[i] = z
+    A = weights * wprob[:, None]
+    A = A / A.sum(axis=0, keepdims=True)
+    expected = A.T
+    np.testing.assert_allclose(beta, expected, atol=2e-3)
+
+
+def test_fast_anchor_picks_distinct_rows():
+    rng = np.random.default_rng(1)
+    Vp = 40
+    Q = rng.dirichlet(np.ones(Vp), size=Vp).astype(np.float32)
+    anchors = np.asarray(fast_anchor(jnp.asarray(Q), 5))
+    assert len(set(anchors.tolist())) == 5
+
+
+def test_spectral_init_properties(toy_corpus):
+    beta = spectral_init(toy_corpus.train_docs, K=3, V=toy_corpus.V)
+    assert beta.shape == (3, toy_corpus.V)
+    assert np.all(beta > 0)  # pseudocount floor
+    np.testing.assert_allclose(beta.sum(axis=1), 1.0, atol=1e-8)
+    # deterministic
+    beta2 = spectral_init(toy_corpus.train_docs, K=3, V=toy_corpus.V)
+    np.testing.assert_allclose(beta, beta2)
+
+
+def test_spectral_init_in_stm(toy_corpus, toy_dictionary, toy_metadata):
+    from strutopy_tpu.models.stm import STM
+
+    train = toy_corpus.train_docs
+    m = STM(
+        documents=train,
+        dictionary=toy_dictionary,
+        K=3,
+        X=toy_metadata[: len(train)],
+        max_em_iter=2,
+        init_type="spectral",
+        model_type="STM",
+    )
+    m.expectation_maximization(saving=False)
+    assert np.isfinite(m.last_bounds).all()
+    # spectral init starts near a good optimum, so the trajectory is
+    # roughly flat rather than jumping; require it stays in the same range
+    assert abs(m.last_bounds[-1] - m.last_bounds[0]) < 0.5 * abs(m.last_bounds[0])

@@ -1,0 +1,66 @@
+"""STM construction/shape tests mirroring reference tests/test_stm_unit.py."""
+
+import numpy as np
+
+from strutopy_tpu.models.stm import STM
+
+
+def test_stm_random_init(toy_corpus, toy_dictionary, toy_metadata):
+    train_docs = toy_corpus.train_docs
+    K = 3
+    N_train = len(train_docs)
+    model = STM(
+        documents=train_docs,
+        dictionary=toy_dictionary,
+        content=False,
+        K=K,
+        X=toy_metadata[:N_train],
+        kappa_interactions=False,
+        max_em_iter=1,
+        sigma_prior=0,
+        convergence_threshold=1e-5,
+        init_type="random",
+        model_type="CTM",
+    )
+    assert model.beta.shape == (K, len(toy_dictionary))
+    assert model.theta.shape == (N_train, K)
+    assert model.sigma.shape == (K - 1, K - 1)
+    assert model.eta.shape == (N_train, K - 1)
+    np.testing.assert_allclose(model.beta.sum(axis=1), 1.0, atol=1e-5)
+    # sigma initialized at 20 * I (reference stm.py:459-461)
+    np.testing.assert_allclose(model.sigma, 20 * np.eye(K - 1), atol=1e-6)
+
+
+def test_stm_rejects_bad_config(toy_corpus, toy_dictionary):
+    import pytest
+
+    with pytest.raises(ValueError):
+        STM(documents=toy_corpus.train_docs, dictionary=toy_dictionary, K=0)
+    with pytest.raises(ValueError):
+        STM(
+            documents=toy_corpus.train_docs,
+            dictionary=toy_dictionary,
+            K=3,
+            model_type="bogus",
+        )
+
+
+def test_save_model_contract(tmp_path, toy_corpus, toy_dictionary, toy_metadata):
+    """Artifact contract matches reference save_model (stm.py:1120-1149)."""
+    train_docs = toy_corpus.train_docs
+    model = STM(
+        documents=train_docs,
+        dictionary=toy_dictionary,
+        K=3,
+        X=toy_metadata[: len(train_docs)],
+        max_em_iter=1,
+        init_type="random",
+        model_type="STM",
+    )
+    model.expectation_maximization(saving=True, output_dir=str(tmp_path))
+    for name in ["beta_hat", "theta_hat", "sigma_hat", "eta_hat", "mu_hat", "gamma_hat", "X"]:
+        assert (tmp_path / f"{name}.npy").exists(), name
+    assert (tmp_path / "lower_bound.pickle").exists()
+    assert (tmp_path / "stm_config.json").exists()
+    beta = np.load(tmp_path / "beta_hat.npy")
+    assert beta.shape == (3, len(toy_dictionary))
