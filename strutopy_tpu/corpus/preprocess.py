@@ -1,0 +1,87 @@
+"""Text preprocessing: raw documents -> BoW corpus + vocabulary.
+
+Covers the reference's corpus-construction pipeline
+(`src/02_create_corpus.py:11-44`): punctuation/digit stripping,
+stopword removal, and doc2bow conversion — without the gensim
+dependency.  (The upstream step, `src/01_get_wiki_docs.py`, scrapes
+Wikipedia and needs network access; its output contract — a table of
+(id, text, labels) — is the input contract of this module.)
+"""
+
+from __future__ import annotations
+
+import re
+import string
+from collections import Counter
+from typing import Iterable, Optional, Sequence
+
+from strutopy_tpu.corpus.bow import Vocabulary
+
+# A compact English stopword list (reference uses a bundled
+# stop_words_english.txt, src/02_create_corpus.py:29-35).
+DEFAULT_STOPWORDS = frozenset(
+    """a about above after again against all am an and any are aren't as at be
+because been before being below between both but by can't cannot could
+couldn't did didn't do does doesn't doing don't down during each few for from
+further had hadn't has hasn't have haven't having he he'd he'll he's her here
+here's hers herself him himself his how how's i i'd i'll i'm i've if in into
+is isn't it it's its itself let's me more most mustn't my myself no nor not of
+off on once only or other ought our ours ourselves out over own same shan't
+she she'd she'll she's should shouldn't so some such than that that's the
+their theirs them themselves then there there's these they they'd they'll
+they're they've this those through to too under until up very was wasn't we
+we'd we'll we're we've were weren't what what's when when's where where's
+which while who who's whom why why's with won't would wouldn't you you'd
+you'll you're you've your yours yourself yourselves also may many must used
+use using one two first second new however since within upon often e g""".split()
+)
+
+_PUNCT_DIGIT_RE = re.compile(f"[{re.escape(string.punctuation)}0-9]")
+
+
+def tokenize(
+    text: str,
+    stopwords: Optional[frozenset] = DEFAULT_STOPWORDS,
+    min_len: int = 2,
+) -> list:
+    """Lowercase, strip punctuation/digits, split, drop stopwords.
+
+    Mirrors reference src/02_create_corpus.py:23-35.
+    """
+    text = text.lower()
+    text = _PUNCT_DIGIT_RE.sub(" ", text)
+    toks = [t for t in text.split() if len(t) >= min_len]
+    if stopwords:
+        toks = [t for t in toks if t not in stopwords]
+    return toks
+
+
+def build_corpus(
+    texts: Iterable[str],
+    stopwords: Optional[frozenset] = DEFAULT_STOPWORDS,
+    min_doc_freq: int = 1,
+    max_doc_frac: float = 1.0,
+):
+    """Tokenize texts -> (bow_corpus, Vocabulary).
+
+    BoW output uses the reference's list-of-(idx, count) convention.
+    ``min_doc_freq`` / ``max_doc_frac`` filter rare/ubiquitous terms.
+    """
+    token_docs = [tokenize(t, stopwords) for t in texts]
+    doc_freq: Counter = Counter()
+    for toks in token_docs:
+        doc_freq.update(set(toks))
+    n_docs = len(token_docs)
+    keep = {
+        t
+        for t, df in doc_freq.items()
+        if df >= min_doc_freq and df <= max_doc_frac * n_docs
+    }
+    vocab_tokens = sorted(keep)
+    index = {t: i for i, t in enumerate(vocab_tokens)}
+
+    bow = []
+    for toks in token_docs:
+        counts = Counter(t for t in toks if t in keep)
+        bow.append(sorted((index[t], c) for t, c in counts.items()))
+    return bow, Vocabulary.from_tokens(vocab_tokens)

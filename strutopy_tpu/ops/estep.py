@@ -42,13 +42,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from strutopy_tpu.ops.linalg import chol_fast_pd, chol_pd, cho_inverse
+from strutopy_tpu.ops.linalg import chol_pd, cho_inverse
 
 
 class NewtonConfig(NamedTuple):
     max_iters: int = 24
     grad_tol: float = 1e-5
     max_backtracks: int = 12
+    cg_iters: int = 24  # inner CG iterations for the Newton direction
+    bf16_hessian: bool = True  # bf16 MXU matmuls for the *in-loop* Hessian
 
 
 class EStepResult(NamedTuple):
@@ -65,12 +67,17 @@ class EStepResult(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _f_g_H(eta, beta_doc, counts, mu, siginv, Nd):
+def _f_g_H(eta, beta_doc, counts, mu, siginv, Nd, bf16: bool = False):
     """Objective, gradient and Hessian of f at eta, sharing one pass.
 
     beta_doc: (K, L); counts: (L,); eta/mu: (K-1,).
     Math per reference f/df/hessian (stm.py:920-958, :986-1026) with the
     gradient's missing e^eta scaling fixed (PARITY_NOTES.md).
+
+    ``bf16=True`` runs the dominant B @ B^T contraction in bfloat16 with
+    float32 accumulation — used only for the *in-loop* Hessian (the
+    Newton direction tolerates it); the final Hessian that defines nu
+    and the bound's log-det is always float32.
     """
     K = beta_doc.shape[0]
     eta_full = jnp.concatenate([eta, jnp.zeros((1,), eta.dtype)])
@@ -98,11 +105,56 @@ def _f_g_H(eta, beta_doc, counts, mu, siginv, Nd):
 
     # Hessian: B B^T - diag(q) + Nd diag(theta) - Nd theta theta^T
     B = phi_hat * jnp.sqrt(jnp.maximum(counts, 0.0))[None, :]  # (K, L)
-    Hll = B @ B.T
+    if bf16:
+        Bm = B.astype(jnp.bfloat16)
+        Hll = jnp.dot(Bm, Bm.T, preferred_element_type=jnp.float32)
+    else:
+        Hll = jnp.dot(B, B.T, preferred_element_type=jnp.float32)
     Hll = Hll - Nd * jnp.outer(theta, theta)
     Hll = Hll + jnp.diag(Nd * theta - q)
     H = Hll[: K - 1, : K - 1] + siginv
     return f, g, H, theta, phi_hat
+
+
+def _cg_direction(H, g, iters: int):
+    """Newton direction p ~ -H^{-1} g by Steihaug truncated CG.
+
+    Replaces the batched Cholesky + triangular solves inside the Newton
+    loop: CG is pure (K-1)-sized matvecs, which batch onto the MXU far
+    better than factorization (measured ~6x faster at K=100, B=1024 on
+    v5e).  The objective is non-convex away from the optimum, so H can
+    be indefinite: CG freezes at the first negative-curvature direction
+    (Steihaug), which guarantees the returned step is still a descent
+    direction; if negative curvature hits on the very first iteration,
+    the caller's steepest-descent fallback takes over.  Jacobi
+    preconditioned (abs-diagonal, safe for indefinite H).
+    """
+    dinv = 1.0 / jnp.maximum(jnp.abs(jnp.diagonal(H)), 1e-20)
+
+    def body(_, st):
+        x, r, p, rz, active = st
+        Ap = H @ p
+        pAp = jnp.dot(p, Ap)
+        active = jnp.logical_and(active, pAp > 1e-30)
+        alpha = rz / jnp.where(pAp > 1e-30, pAp, 1.0)
+        x = jnp.where(active, x + alpha * p, x)
+        r = jnp.where(active, r - alpha * Ap, r)
+        z = dinv * r
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = jnp.where(active, z + beta * p, p)
+        rz = jnp.where(active, rz_new, rz)
+        return (x, r, p, rz, active)
+
+    r0 = -g
+    z0 = dinv * r0
+    x, _, _, _, _ = jax.lax.fori_loop(
+        0,
+        iters,
+        body,
+        (jnp.zeros_like(g), r0, z0, jnp.dot(r0, z0), jnp.bool_(True)),
+    )
+    return x
 
 
 def _f_only(eta, beta_doc, counts, mu, siginv, Nd):
@@ -128,15 +180,16 @@ def _doc_newton(beta_doc, counts, mu, siginv, cfg: NewtonConfig, eta0):
 
     def body(state):
         eta, it, _ = state
-        f, g, H, _, _ = _f_g_H(eta, beta_doc, counts, mu, siginv, Nd)
+        f, g, H, _, _ = _f_g_H(
+            eta, beta_doc, counts, mu, siginv, Nd, bf16=cfg.bf16_hessian
+        )
         gnorm = jnp.max(jnp.abs(g))
         converged = gnorm <= cfg.grad_tol
 
-        L = chol_fast_pd(H)
-        p = -jax.scipy.linalg.cho_solve((L, True), g)
+        p = _cg_direction(H, g, cfg.cg_iters)
         gTp = jnp.dot(g, p)
         # fall back to steepest descent if the direction is not a descent
-        # direction (can happen right after a PD repair)
+        # direction (possible when H is indefinite far from the optimum)
         bad_dir = gTp >= 0
         p = jnp.where(bad_dir, -g, p)
         gTp = jnp.where(bad_dir, -jnp.dot(g, g), gTp)

@@ -1,0 +1,236 @@
+"""Experiment pipeline: the library form of the reference's scripts.
+
+The reference drives experiments through numbered scripts with joblib
+process fan-out and filesystem handoff
+(`src/03_fit_reference_model.py`, `src/04_create_synthetic_corpora.py`,
+`src/05_train.py`, `src/06_example_application.py`).  Here the same
+flows are plain library functions (exposed on the CLI, see
+strutopy_tpu/cli.py); parallelism comes from the device mesh inside a
+single fit rather than from process pools.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import pickle
+from typing import Optional, Sequence
+
+import numpy as np
+
+from strutopy_tpu.corpus.bow import Vocabulary
+from strutopy_tpu.dgp.corpus_creation import CorpusCreation
+from strutopy_tpu.eval.heldout import cut_in_half, eval_heldout
+from strutopy_tpu.models.stm import STM
+
+logger = logging.getLogger(__name__)
+
+
+def fit_model(
+    documents,
+    K: int,
+    X=None,
+    dictionary=None,
+    output_dir: Optional[str] = None,
+    max_em_iter: int = 25,
+    init_type: str = "random",
+    model_type: str = "STM",
+    mode: str = "ols",
+    mesh=None,
+    **kwargs,
+) -> STM:
+    """Fit one STM and optionally save the reference artifact set
+    (reference src/03_fit_reference_model.py:40-92)."""
+    if dictionary is None:
+        dictionary = Vocabulary.from_corpus(documents)
+    model = STM(
+        documents=documents,
+        dictionary=dictionary,
+        K=K,
+        X=X,
+        max_em_iter=max_em_iter,
+        init_type=init_type,
+        model_type=model_type,
+        mode=mode,
+        mesh=mesh,
+        **kwargs,
+    )
+    model.expectation_maximization(saving=output_dir is not None, output_dir=output_dir)
+    if output_dir is not None:
+        config = {
+            "num_topics": K,
+            "length_dictionary": len(dictionary),
+            "number_of_docs": len(documents) if not hasattr(documents, "n_docs") else documents.n_docs,
+            "init_type": init_type,
+            "model_type": model_type,
+            "mode": mode,
+            "max_em_iter": max_em_iter,
+            "final_bound": model.last_bounds[-1] if model.last_bounds else None,
+            "time_processed": model.time_processed,
+        }
+        with open(os.path.join(output_dir, "fit_config.json"), "w") as f:
+            json.dump(config, f, indent=2)
+    return model
+
+
+def create_synthetic_corpora(
+    K: int,
+    beta: Optional[np.ndarray] = None,
+    gamma: Optional[np.ndarray] = None,
+    gamma_factors: Sequence[float] = (1, 5, 10),
+    n_corpora: int = 20,
+    n_docs: int = 1500,
+    n_words: int = 150,
+    V: int = 5000,
+    level: int = 1,
+    train_proportion: float = 0.8,
+    output_dir: Optional[str] = None,
+    seed: int = 12345,
+):
+    """Synthetic corpus grid (reference src/04_create_synthetic_corpora.py).
+
+    For each gamma factor, generates ``n_corpora`` corpora (optionally
+    seeded with a fitted beta/gamma), splits train/test + document
+    completion halves, and pickles artifacts when ``output_dir`` is set.
+    Returns the nested dict of corpora.
+    """
+    out = {}
+    for gf in gamma_factors:
+        corpora = []
+        for i in range(n_corpora):
+            cc = CorpusCreation(
+                n_topics=K,
+                n_docs=n_docs,
+                n_words=n_words,
+                V=V if beta is None else beta.shape[1],
+                level=level,
+                dgp="STM",
+                beta=beta,
+                gamma=None if gamma is None else gamma * gf,
+                seed=seed + 1000 * i + int(gf),
+            )
+            cc.generate_documents(remove_terms=True)
+            cc.split_corpus(proportion=train_proportion)
+            corpora.append(cc)
+            if output_dir is not None:
+                d = os.path.join(output_dir, f"K{K}_gf{gf}", str(i))
+                os.makedirs(d, exist_ok=True)
+                for name in ("train_docs", "test_docs", "test_1_docs", "test_2_docs"):
+                    with open(os.path.join(d, f"{name}.pickle"), "wb") as f:
+                        pickle.dump(getattr(cc, name), f)
+                np.save(os.path.join(d, "metadata"), cc.metadata)
+                np.save(os.path.join(d, "theta_true"), cc.theta)
+                np.save(os.path.join(d, "beta_true"), cc.beta)
+                np.save(os.path.join(d, "gamma_true"), cc.gamma)
+        out[gf] = corpora
+    return out
+
+
+def train_and_eval_heldout(
+    train_docs,
+    test_docs,
+    K: int,
+    X=None,
+    model_type: str = "STM",
+    init_type: str = "spectral",
+    max_em_iter: int = 10,
+    mesh=None,
+    **kwargs,
+):
+    """Document-completion heldout evaluation of one configuration.
+
+    Reference src/05_train.py:73-122: train ``model_beta`` on
+    train+test and ``model_theta`` on train+test_1 (the first halves),
+    then score ``test_2`` with ``eval_heldout(theta, beta)``.
+    Returns (heldout_ll, model_beta, model_theta).
+    """
+    test_1, test_2 = cut_in_half(test_docs)
+    beta_train_corpus = list(train_docs) + list(test_docs)
+    theta_train_corpus = list(train_docs) + list(test_1)
+
+    dict_beta = Vocabulary.from_corpus(beta_train_corpus)
+    dict_theta = Vocabulary.from_corpus(theta_train_corpus)
+    V = max(len(dict_beta), len(dict_theta))
+    dict_all = Vocabulary([str(i) for i in range(V)])
+
+    def _X_for(n):
+        if X is None:
+            return None
+        Xa = np.asarray(X)
+        if len(Xa) >= n:
+            return Xa[:n]
+        reps = -(-n // len(Xa))
+        return np.tile(Xa, (reps,) + (1,) * (Xa.ndim - 1))[:n]
+
+    model_beta = STM(
+        documents=beta_train_corpus,
+        dictionary=dict_all,
+        K=K,
+        X=_X_for(len(beta_train_corpus)),
+        model_type=model_type,
+        init_type=init_type,
+        max_em_iter=max_em_iter,
+        mesh=mesh,
+        **kwargs,
+    )
+    model_beta.expectation_maximization(saving=False)
+
+    model_theta = STM(
+        documents=theta_train_corpus,
+        dictionary=dict_all,
+        K=K,
+        X=_X_for(len(theta_train_corpus)),
+        model_type=model_type,
+        init_type=init_type,
+        max_em_iter=max_em_iter,
+        mesh=mesh,
+        **kwargs,
+    )
+    model_theta.expectation_maximization(saving=False)
+
+    # theta rows for the completion docs are the tail of theta_train_corpus
+    n_train = len(train_docs)
+    theta_heldout = model_theta.theta[n_train : n_train + len(test_1)]
+    ll = eval_heldout(test_2, theta_heldout, model_beta.beta)
+    return ll, model_beta, model_theta
+
+
+def find_k(
+    documents,
+    K_candidates: Sequence[int],
+    X=None,
+    model_types: Sequence[str] = ("STM",),
+    proportion: float = 0.8,
+    init_type: str = "spectral",
+    max_em_iter: int = 10,
+    mesh=None,
+    **kwargs,
+):
+    """Heldout model selection over a K grid
+    (reference src/06_example_application.py:33-99,183-195 and the dead
+    heldout.py:149-155 find_k, reimplemented live).
+
+    Returns {model_type: {K: heldout_ll}}.
+    """
+    documents = list(documents)
+    split = int(proportion * len(documents))
+    train, test = documents[:split], documents[split:]
+    results = {}
+    for mt in model_types:
+        results[mt] = {}
+        for K in K_candidates:
+            ll, _, _ = train_and_eval_heldout(
+                train,
+                test,
+                K=K,
+                X=X,
+                model_type=mt,
+                init_type=init_type,
+                max_em_iter=max_em_iter,
+                mesh=mesh,
+                **kwargs,
+            )
+            logger.info("find_k: model=%s K=%d heldout=%.5f", mt, K, ll)
+            results[mt][K] = ll
+    return results

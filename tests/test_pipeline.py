@@ -1,0 +1,107 @@
+"""Pipeline-layer tests: synth-corpora grid, heldout harness, find-K, CLI."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from strutopy_tpu import pipeline
+
+
+def test_create_synthetic_corpora(tmp_path):
+    out = pipeline.create_synthetic_corpora(
+        K=3, gamma_factors=(1, 5), n_corpora=2, n_docs=30, n_words=40, V=120,
+        output_dir=str(tmp_path),
+    )
+    assert set(out.keys()) == {1, 5}
+    assert len(out[1]) == 2
+    cc = out[1][0]
+    assert len(cc.train_docs) == 24 and len(cc.test_docs) == 6
+    d = tmp_path / "K3_gf1" / "0"
+    for name in ("train_docs", "test_docs", "test_1_docs", "test_2_docs"):
+        assert (d / f"{name}.pickle").exists()
+    assert (d / "theta_true.npy").exists()
+
+
+def test_train_and_eval_heldout(toy_corpus, toy_metadata):
+    ll, mb, mt = pipeline.train_and_eval_heldout(
+        toy_corpus.train_docs,
+        toy_corpus.test_docs,
+        K=3,
+        X=toy_metadata,
+        model_type="CTM",
+        init_type="random",
+        max_em_iter=2,
+    )
+    assert ll < 0  # may be -inf with random init, like the reference
+    assert mb.beta.shape[0] == 3
+
+
+def test_find_k(toy_corpus, toy_metadata):
+    res = pipeline.find_k(
+        toy_corpus.documents,
+        K_candidates=[3, 4],
+        X=toy_metadata,
+        model_types=("CTM",),
+        init_type="random",
+        max_em_iter=2,
+    )
+    assert set(res["CTM"].keys()) == {3, 4}
+    for v in res["CTM"].values():
+        assert v < 0
+
+
+def test_fit_model_saves_artifacts(tmp_path, toy_corpus, toy_metadata):
+    model = pipeline.fit_model(
+        toy_corpus.train_docs,
+        K=3,
+        X=toy_metadata[: len(toy_corpus.train_docs)],
+        output_dir=str(tmp_path),
+        max_em_iter=2,
+        init_type="random",
+    )
+    assert (tmp_path / "beta_hat.npy").exists()
+    assert (tmp_path / "fit_config.json").exists()
+    with open(tmp_path / "fit_config.json") as f:
+        cfg = json.load(f)
+    assert cfg["num_topics"] == 3
+    assert np.isfinite(cfg["final_bound"])
+
+
+def test_cli_synth_and_train_eval(tmp_path):
+    from strutopy_tpu.cli import main
+
+    out = tmp_path / "synth"
+    main([
+        "synth", "--K", "3", "--n-corpora", "1", "--n-docs", "30",
+        "--n-words", "40", "--V", "120", "--gamma-factors", "1",
+        "--out", str(out),
+    ])
+    corpus_dir = out / "K3_gf1.0" / "0"
+    if not corpus_dir.exists():
+        corpus_dir = out / "K3_gf1" / "0"
+    assert corpus_dir.exists()
+    main([
+        "train-eval", "--corpus-dir", str(corpus_dir), "--K", "3",
+        "--model", "CTM", "--init", "random", "--max-em-iter", "1",
+    ])
+
+
+def test_preprocess_build_corpus():
+    from strutopy_tpu.corpus.preprocess import build_corpus, tokenize
+
+    toks = tokenize("The quick brown Fox, 42 jumps!")
+    assert "the" not in toks and "42" not in toks
+    assert "quick" in toks and "fox" in toks
+
+    bow, vocab = build_corpus([
+        "statistics is the study of data",
+        "machine learning learns from data",
+    ])
+    assert len(vocab) > 0
+    assert all(isinstance(w, int) and c >= 1 for doc in bow for (w, c) in doc)
+    # shared term "data" appears in both docs
+    data_id = [i for i, t in enumerate(vocab) if t == "data"][0]
+    assert all(any(w == data_id for (w, _) in doc) for doc in bow)
