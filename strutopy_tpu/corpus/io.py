@@ -1,0 +1,83 @@
+"""Corpus and artifact I/O.
+
+Covers the reference's file formats so its users can bring their data:
+  * Matrix Market BoW corpora (`.mm`, gensim MmCorpus convention —
+    reference src/02_create_corpus.py:39-44 serializes
+    `BoW_corpus.mm`), read/written without gensim;
+  * the `*_hat.npy` model artifact set (reference save_model,
+    src/modules/stm.py:1120-1149) — load_model_artifacts reads both
+    this framework's and the reference's committed artifacts.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional
+
+import numpy as np
+
+from strutopy_tpu.corpus.bow import PaddedCorpus, pad_corpus
+
+
+def read_mm(path: str) -> list:
+    """Read a Matrix Market coordinate file as a BoW corpus.
+
+    Returns the reference's list-of-(idx, count) document format.
+    1-based indices per the MM convention (gensim writes docs as rows).
+    """
+    docs: dict = {}
+    n_docs = 0
+    with open(path) as f:
+        header = f.readline()
+        if not header.startswith("%%MatrixMarket"):
+            raise ValueError(f"{path} is not a MatrixMarket file")
+        line = f.readline()
+        while line.startswith("%"):
+            line = f.readline()
+        n_docs, _n_terms, _nnz = (int(x) for x in line.split())
+        for line in f:
+            if not line.strip():
+                continue
+            i, j, v = line.split()
+            d = int(i) - 1
+            docs.setdefault(d, []).append((int(j) - 1, int(float(v))))
+    return [sorted(docs.get(d, [])) for d in range(n_docs)]
+
+
+def write_mm(path: str, corpus) -> None:
+    """Write a BoW corpus (or PaddedCorpus) as Matrix Market."""
+    from strutopy_tpu.corpus.bow import to_bow
+
+    if isinstance(corpus, PaddedCorpus):
+        corpus = to_bow(corpus)
+    n_docs = len(corpus)
+    n_terms = 1 + max((w for doc in corpus for (w, _) in doc), default=0)
+    nnz = sum(len(doc) for doc in corpus)
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"{n_docs} {n_terms} {nnz}\n")
+        for d, doc in enumerate(corpus):
+            for w, c in doc:
+                f.write(f"{d + 1} {w + 1} {c}\n")
+
+
+def load_model_artifacts(model_dir: str) -> dict:
+    """Load a `*_hat.npy` artifact directory (ours or the reference's).
+
+    Returns a dict with whatever of beta/theta/sigma/eta/mu/gamma/X/
+    kappa/lower_bound exists.
+    """
+    out = {}
+    for name in ("beta", "theta", "sigma", "eta", "mu", "gamma", "kappa"):
+        p = os.path.join(model_dir, f"{name}_hat.npy")
+        if os.path.exists(p):
+            out[name] = np.load(p, allow_pickle=True)
+    xp = os.path.join(model_dir, "X.npy")
+    if os.path.exists(xp):
+        out["X"] = np.load(xp, allow_pickle=True)
+    lb = os.path.join(model_dir, "lower_bound.pickle")
+    if os.path.exists(lb):
+        with open(lb, "rb") as f:
+            out["lower_bound"] = pickle.load(f)
+    return out

@@ -1,0 +1,154 @@
+"""ctypes bindings for the native C++ ingest library (native/ingest.cpp).
+
+Auto-builds with ``make`` on first use if g++ is available; every entry
+point has a pure-python fallback in corpus/bow.py and corpus/io.py, so
+the framework works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libstm_ingest.so")
+_lib = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        makefile = os.path.join(_NATIVE_DIR, "Makefile")
+        if os.path.exists(makefile):
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR], check=True,
+                    capture_output=True, timeout=120,
+                )
+            except Exception as e:  # no toolchain — fall back to python
+                logger.debug("native ingest build failed: %s", e)
+                return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.stm_mm_open.restype = ctypes.c_void_p
+    lib.stm_mm_open.argtypes = [ctypes.c_char_p]
+    lib.stm_corpus_n_docs.restype = ctypes.c_int64
+    lib.stm_corpus_n_docs.argtypes = [ctypes.c_void_p]
+    lib.stm_corpus_n_terms.restype = ctypes.c_int64
+    lib.stm_corpus_n_terms.argtypes = [ctypes.c_void_p]
+    lib.stm_corpus_max_len.restype = ctypes.c_int64
+    lib.stm_corpus_max_len.argtypes = [ctypes.c_void_p]
+    lib.stm_corpus_error.restype = ctypes.c_char_p
+    lib.stm_corpus_error.argtypes = [ctypes.c_void_p]
+    lib.stm_corpus_pad.restype = ctypes.c_int32
+    lib.stm_corpus_pad.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.stm_corpus_free.argtypes = [ctypes.c_void_p]
+    lib.stm_pack_coo.restype = ctypes.c_int64
+    lib.stm_pack_coo.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def read_mm_padded(path: str, lane: int = 128):
+    """Parse a MatrixMarket corpus directly into a PaddedCorpus via the
+    native library.  Returns None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.stm_mm_open(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        err = lib.stm_corpus_error(h)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        n_docs = lib.stm_corpus_n_docs(h)
+        n_terms = lib.stm_corpus_n_terms(h)
+        max_len = lib.stm_corpus_max_len(h)
+        L = _round_up(max(int(max_len), lane), lane)
+        words = np.zeros((n_docs, L), np.int32)
+        counts = np.zeros((n_docs, L), np.float32)
+        doc_ok = np.zeros(n_docs, np.uint8)
+        rc = lib.stm_corpus_pad(
+            h, L,
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            doc_ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc != 0:
+            raise RuntimeError("native pad failed")
+    finally:
+        lib.stm_corpus_free(h)
+
+    from strutopy_tpu.corpus.bow import PaddedCorpus
+
+    return PaddedCorpus(
+        words=words, counts=counts, doc_ok=doc_ok.astype(bool), V=int(n_terms)
+    )
+
+
+def pack_coo_padded(doc_idx, word_idx, count, n_docs: int, V: int, lane: int = 128):
+    """Pack COO triples into a PaddedCorpus via the native library.
+    Returns None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    doc_idx = np.ascontiguousarray(doc_idx, np.int64)
+    word_idx = np.ascontiguousarray(word_idx, np.int32)
+    count = np.ascontiguousarray(count, np.float32)
+    nnz = len(doc_idx)
+    # first pass with a guess; native returns needed L if too small
+    L = lane
+    while True:
+        words = np.zeros((n_docs, L), np.int32)
+        counts = np.zeros((n_docs, L), np.float32)
+        doc_ok = np.zeros(n_docs, np.uint8)
+        rc = lib.stm_pack_coo(
+            doc_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            word_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            count.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            nnz, n_docs, L,
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            doc_ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc < 0:
+            raise ValueError("bad doc indices in COO input")
+        if rc <= L:
+            break
+        L = _round_up(int(rc), lane)
+
+    from strutopy_tpu.corpus.bow import PaddedCorpus
+
+    return PaddedCorpus(
+        words=words, counts=counts, doc_ok=doc_ok.astype(bool), V=V
+    )

@@ -191,36 +191,90 @@ class STM:
 
         self.last_bounds: list = []
         self.time_processed: Optional[float] = None
+        self.docs_per_sec: Optional[float] = None
 
     # ------------------------------------------------------------------
     # fitting
     # ------------------------------------------------------------------
 
-    def expectation_maximization(self, saving: bool = False, output_dir=None):
-        """Run EM until convergence (reference stm.py:855-880)."""
+    def expectation_maximization(
+        self,
+        saving: bool = False,
+        output_dir=None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 5,
+        resume: bool = False,
+        profile_dir: Optional[str] = None,
+    ):
+        """Run EM until convergence (reference stm.py:855-880).
+
+        Beyond the reference: resumable checkpoints (``checkpoint_path``
+        + ``resume=True``), per-iteration docs/sec instrumentation, and
+        optional ``jax.profiler`` traces (``profile_dir``).
+        """
         cfg = self.config
+        start_iter = 0
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            from strutopy_tpu.utils.checkpoint import load_checkpoint
+
+            self._state, self.last_bounds, start_iter, _ = load_checkpoint(
+                checkpoint_path
+            )
+            if self.mesh is not None:
+                from strutopy_tpu.parallel.sharding import shard_state
+
+                self._state = shard_state(self.mesh, self._state, cfg.content)
+            logger.info("resumed from %s at EM iteration %d", checkpoint_path, start_iter)
+
         t0 = time.time()
         logger.info("Fit %s for %d topics", cfg.model_type, cfg.K)
-        for it in range(cfg.max_em_iter):
-            self._state = self._em_step(self._state, self._data)
-            bound = float(self._state.bound)
-            self.last_bounds.append(bound)
-            logger.info("EM iteration %d: bound %.4f", it, bound)
-            if it >= 1:
-                old = self.last_bounds[-2]
-                rel = abs((bound - old) / abs(old)) if old != 0 else np.inf
-                if rel < cfg.convergence_threshold:
-                    self.time_processed = time.time() - t0
-                    logger.info(
-                        "converged in iteration %d after %.2fs", it, self.time_processed
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        try:
+            for it in range(start_iter, cfg.max_em_iter):
+                it_t0 = time.time()
+                self._state = self._em_step(self._state, self._data)
+                bound = float(self._state.bound)
+                it_dt = time.time() - it_t0
+                self.last_bounds.append(bound)
+                self.docs_per_sec = self.N / max(it_dt, 1e-9)
+                logger.info(
+                    "EM iteration %d: bound %.4f (%.3fs, %.0f docs/s)",
+                    it, bound, it_dt, self.docs_per_sec,
+                )
+                if checkpoint_path and (it + 1) % checkpoint_every == 0:
+                    from strutopy_tpu.utils.checkpoint import save_checkpoint
+
+                    save_checkpoint(
+                        checkpoint_path, self._state, self.last_bounds, it + 1,
+                        cfg.to_json(),
                     )
-                    break
+                if it >= 1:
+                    old = self.last_bounds[-2]
+                    rel = abs((bound - old) / abs(old)) if old != 0 else np.inf
+                    if rel < cfg.convergence_threshold:
+                        self.time_processed = time.time() - t0
+                        logger.info(
+                            "converged in iteration %d after %.2fs",
+                            it, self.time_processed,
+                        )
+                        break
+        finally:
+            if profile_dir:
+                jax.profiler.stop_trace()
         if self.time_processed is None:
             self.time_processed = time.time() - t0
             logger.info(
                 "max EM iterations (%d) reached after %.2fs",
                 cfg.max_em_iter,
                 self.time_processed,
+            )
+        if checkpoint_path:
+            from strutopy_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_path, self._state, self.last_bounds,
+                len(self.last_bounds), cfg.to_json(),
             )
         if saving:
             assert output_dir is not None

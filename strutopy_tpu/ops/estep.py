@@ -15,21 +15,25 @@ statistics ``phi`` (stm.py:1103-1118), accumulating
 
     sigma_ss += nu        beta_ss[:, w_d] += phi_d      bound += bound_d
 
-TPU-native design (replaces the reference's serial python loop over
-documents with per-doc ``scipy.optimize.minimize(BFGS)``):
+TPU-native design (replacing the reference's serial python loop of
+per-doc ``scipy.optimize.minimize(BFGS)`` calls):
 
-  * documents are processed in fixed-size chunks via ``lax.scan``; each
-    chunk is a ``jax.vmap`` over a damped-Newton solver in a
-    ``lax.while_loop`` (fixed shapes, data-independent control flow);
-  * Newton uses the exact analytic Hessian — it is needed for ``nu``
-    anyway — with Armijo backtracking; quadratic convergence makes it
-    both faster and more accurate than the reference's BFGS (whose
-    analytic gradient is, additionally, evaluated without the e^eta
-    scaling — a reference bug we deliberately fix; see PARITY_NOTES.md);
-  * beta gathers/contractions are (B, K, L) batched matmuls on the MXU;
+  * documents stream through a ``lax.scan`` in fixed-size chunks; each
+    chunk runs an *explicitly batched* damped-Newton solver: ONE
+    batch-level ``lax.while_loop`` whose body is straight-line batched
+    linear algebra — no nested loops, which the TPU compiler handles
+    poorly (a vmapped while-in-while variant took minutes to compile);
+  * the Newton direction comes from Steihaug truncated CG, *unrolled*
+    (pure batched (B,K)·(B,K,K) matvecs on the MXU — measured ~6x
+    faster than batched Cholesky factorization at K=100, B=1024);
+  * the Armijo line search evaluates ALL candidate step sizes in one
+    (B,T,K)x(B,K,L) contraction and selects the first acceptable one —
+    a parallel sweep instead of a sequential backtracking loop;
+  * the exact-Hessian / Cholesky / PD-repair ladder runs once per
+    document at the converged eta (it defines nu and the bound);
   * phi scatter-adds land in one fused XLA scatter per chunk.
 
-Everything here is shape-polymorphic in (B, K, L) and free of host
+Everything is shape-polymorphic in (B, K, L) and free of host
 callbacks, so the same function runs under ``shard_map`` with a final
 ``psum`` over the document mesh axis (see strutopy_tpu/parallel).
 """
@@ -42,218 +46,260 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from strutopy_tpu.ops.linalg import chol_pd, cho_inverse
+from strutopy_tpu.ops.linalg import cho_inverse
 
 
 class NewtonConfig(NamedTuple):
     max_iters: int = 24
     grad_tol: float = 1e-5
     max_backtracks: int = 12
-    cg_iters: int = 24  # inner CG iterations for the Newton direction
+    cg_iters: int = 24  # inner CG steps (capped at K-1 internally)
     bf16_hessian: bool = True  # bf16 MXU matmuls for the *in-loop* Hessian
 
 
 class EStepResult(NamedTuple):
     beta_ss: jax.Array  # (K, V) or (A, K, V)
     sigma_ss: jax.Array  # (K-1, K-1)
-    bound: jax.Array  # scalar, f64-accumulated on host side of the scan
+    bound: jax.Array  # scalar
     eta: jax.Array  # (N, K-1)
     theta: jax.Array  # (N, K)
     newton_iters: jax.Array  # (N,) int32 diagnostics
 
 
 # ---------------------------------------------------------------------------
-# per-document pieces (vmapped over the chunk)
+# batched primitives (B docs at once; no vmap, no nested loops)
 # ---------------------------------------------------------------------------
 
 
-def _f_g_H(eta, beta_doc, counts, mu, siginv, Nd, bf16: bool = False):
-    """Objective, gradient and Hessian of f at eta, sharing one pass.
+def _pad_eta(eta):
+    """(B, K-1) -> (B, K) with the pinned last coordinate."""
+    B = eta.shape[0]
+    return jnp.concatenate([eta, jnp.zeros((B, 1), eta.dtype)], axis=1)
 
-    beta_doc: (K, L); counts: (L,); eta/mu: (K-1,).
+
+def _f_g_H_batched(eta, beta_doc, counts, mu, siginv, Nd, bf16: bool):
+    """Objective, gradient, Hessian for a chunk.
+
+    eta/mu (B, K-1); beta_doc (B, K, L); counts (B, L); Nd (B,).
     Math per reference f/df/hessian (stm.py:920-958, :986-1026) with the
     gradient's missing e^eta scaling fixed (PARITY_NOTES.md).
-
-    ``bf16=True`` runs the dominant B @ B^T contraction in bfloat16 with
-    float32 accumulation — used only for the *in-loop* Hessian (the
-    Newton direction tolerates it); the final Hessian that defines nu
-    and the bound's log-det is always float32.
     """
-    K = beta_doc.shape[0]
-    eta_full = jnp.concatenate([eta, jnp.zeros((1,), eta.dtype)])
-    m = jnp.max(eta_full)
-    e = jnp.exp(eta_full - m)  # (K,)
-    sum_e = jnp.sum(e)
-    theta = e / sum_e  # (K,)
+    K = beta_doc.shape[1]
+    eta_full = _pad_eta(eta)  # (B, K)
+    m = jnp.max(eta_full, axis=1, keepdims=True)
+    e = jnp.exp(eta_full - m)  # (B, K)
+    sum_e = jnp.sum(e, axis=1, keepdims=True)
+    theta = e / sum_e  # (B, K)
 
-    a = e[:, None] * beta_doc  # (K, L), shifted by e^{-m}
-    s = jnp.sum(a, axis=0)  # (L,)
+    a = e[:, :, None] * beta_doc  # (B, K, L)
+    s = jnp.sum(a, axis=1)  # (B, L)
     s_safe = jnp.maximum(s, jnp.asarray(1e-35, s.dtype))
     cmask = counts > 0
-    # sum_l c_l * log sum_k e^{eta_k} beta_kl  (shift m re-added)
-    ll = jnp.sum(jnp.where(cmask, counts * (jnp.log(s_safe) + m), 0.0))
-    lse = m + jnp.log(sum_e)
-    diff = eta - mu
-    sdiff = siginv @ diff
-    f = 0.5 * jnp.dot(diff, sdiff) - ll + Nd * lse
+    ll = jnp.sum(jnp.where(cmask, counts * (jnp.log(s_safe) + m), 0.0), axis=1)
+    lse = (m + jnp.log(sum_e))[:, 0]
+    diff = eta - mu  # (B, K-1)
+    sdiff = diff @ siginv  # (B, K-1); siginv symmetric
+    f = 0.5 * jnp.sum(diff * sdiff, axis=1) - ll + Nd * lse
 
-    phi_hat = a / s_safe[None, :]  # (K, L) token-topic responsibilities
-    phi_hat = jnp.where(cmask[None, :], phi_hat, 0.0)
-    q = phi_hat @ counts  # (K,) expected topic counts
-    g_full = Nd * theta - q  # (K,)
-    g = sdiff + g_full[:-1]
+    phi_hat = a / s_safe[:, None, :]  # (B, K, L)
+    phi_hat = jnp.where(cmask[:, None, :], phi_hat, 0.0)
+    q = jnp.einsum("bkl,bl->bk", phi_hat, counts)  # (B, K)
+    g_full = Nd[:, None] * theta - q
+    g = sdiff + g_full[:, :-1]
 
     # Hessian: B B^T - diag(q) + Nd diag(theta) - Nd theta theta^T
-    B = phi_hat * jnp.sqrt(jnp.maximum(counts, 0.0))[None, :]  # (K, L)
+    Bmat = phi_hat * jnp.sqrt(jnp.maximum(counts, 0.0))[:, None, :]
     if bf16:
-        Bm = B.astype(jnp.bfloat16)
-        Hll = jnp.dot(Bm, Bm.T, preferred_element_type=jnp.float32)
+        Bm = Bmat.astype(jnp.bfloat16)
     else:
-        Hll = jnp.dot(B, B.T, preferred_element_type=jnp.float32)
-    Hll = Hll - Nd * jnp.outer(theta, theta)
-    Hll = Hll + jnp.diag(Nd * theta - q)
-    H = Hll[: K - 1, : K - 1] + siginv
+        Bm = Bmat
+    Hll = jnp.einsum("bkl,bjl->bkj", Bm, Bm, preferred_element_type=jnp.float32)
+    Hll = Hll - (Nd[:, None, None] * theta[:, :, None]) * theta[:, None, :]
+    dcorr = Nd[:, None] * theta - q  # (B, K)
+    Hll = Hll + dcorr[:, :, None] * jnp.eye(K, dtype=Hll.dtype)[None]
+    H = Hll[:, : K - 1, : K - 1] + siginv[None]
     return f, g, H, theta, phi_hat
 
 
-def _cg_direction(H, g, iters: int):
-    """Newton direction p ~ -H^{-1} g by Steihaug truncated CG.
+def _f_multi(eta, p, ts, beta_doc, counts, mu, siginv, Nd):
+    """f(eta + t*p) for all T step sizes at once -> (B, T)."""
+    cand = eta[:, None, :] + ts[None, :, None] * p[:, None, :]  # (B, T, K-1)
+    B, T, _ = cand.shape
+    cand_full = jnp.concatenate([cand, jnp.zeros((B, T, 1), cand.dtype)], axis=2)
+    m = jnp.max(cand_full, axis=2, keepdims=True)
+    e = jnp.exp(cand_full - m)  # (B, T, K)
+    s = jnp.einsum("btk,bkl->btl", e, beta_doc)
+    s = jnp.maximum(s, jnp.asarray(1e-35, s.dtype))
+    cmask = counts > 0
+    ll = jnp.sum(
+        jnp.where(cmask[:, None, :], counts[:, None, :] * (jnp.log(s) + m), 0.0),
+        axis=2,
+    )
+    lse = (m[:, :, 0] + jnp.log(jnp.sum(e, axis=2)))
+    diff = cand - mu[:, None, :]
+    quad = 0.5 * jnp.einsum("bti,ij,btj->bt", diff, siginv, diff)
+    return quad - ll + Nd[:, None] * lse
 
-    Replaces the batched Cholesky + triangular solves inside the Newton
-    loop: CG is pure (K-1)-sized matvecs, which batch onto the MXU far
-    better than factorization (measured ~6x faster at K=100, B=1024 on
-    v5e).  The objective is non-convex away from the optimum, so H can
-    be indefinite: CG freezes at the first negative-curvature direction
-    (Steihaug), which guarantees the returned step is still a descent
-    direction; if negative curvature hits on the very first iteration,
-    the caller's steepest-descent fallback takes over.  Jacobi
-    preconditioned (abs-diagonal, safe for indefinite H).
+
+def _cg_batched(H, g, iters: int):
+    """Steihaug truncated CG for the whole chunk, fully unrolled.
+
+    Pure batched matvecs — no lax loop, so the TPU compiler sees
+    straight-line code.  Freezes each lane at its first
+    negative-curvature direction (descent guaranteed); Jacobi
+    preconditioned with the abs-diagonal (safe for indefinite H).
     """
-    dinv = 1.0 / jnp.maximum(jnp.abs(jnp.diagonal(H)), 1e-20)
-
-    def body(_, st):
-        x, r, p, rz, active = st
-        Ap = H @ p
-        pAp = jnp.dot(p, Ap)
+    dinv = 1.0 / jnp.maximum(jnp.abs(jnp.diagonal(H, axis1=1, axis2=2)), 1e-20)
+    r = -g
+    z = dinv * r
+    p = z
+    rz = jnp.sum(r * z, axis=1)
+    x = jnp.zeros_like(g)
+    active = jnp.ones(g.shape[0], bool)
+    for _ in range(iters):
+        Ap = jnp.einsum("bij,bj->bi", H, p)
+        pAp = jnp.sum(p * Ap, axis=1)
         active = jnp.logical_and(active, pAp > 1e-30)
         alpha = rz / jnp.where(pAp > 1e-30, pAp, 1.0)
-        x = jnp.where(active, x + alpha * p, x)
-        r = jnp.where(active, r - alpha * Ap, r)
+        am = active[:, None]
+        x = jnp.where(am, x + alpha[:, None] * p, x)
+        r = jnp.where(am, r - alpha[:, None] * Ap, r)
         z = dinv * r
-        rz_new = jnp.dot(r, z)
+        rz_new = jnp.sum(r * z, axis=1)
         beta = rz_new / jnp.maximum(rz, 1e-30)
-        p = jnp.where(active, z + beta * p, p)
+        p = jnp.where(am, z + beta[:, None] * p, p)
         rz = jnp.where(active, rz_new, rz)
-        return (x, r, p, rz, active)
-
-    r0 = -g
-    z0 = dinv * r0
-    x, _, _, _, _ = jax.lax.fori_loop(
-        0,
-        iters,
-        body,
-        (jnp.zeros_like(g), r0, z0, jnp.dot(r0, z0), jnp.bool_(True)),
-    )
     return x
 
 
-def _f_only(eta, beta_doc, counts, mu, siginv, Nd):
-    eta_full = jnp.concatenate([eta, jnp.zeros((1,), eta.dtype)])
-    m = jnp.max(eta_full)
-    e = jnp.exp(eta_full - m)
-    s = jnp.maximum(e @ beta_doc, jnp.asarray(1e-35, eta.dtype))
-    cmask = counts > 0
-    ll = jnp.sum(jnp.where(cmask, counts * (jnp.log(s) + m), 0.0))
-    lse = m + jnp.log(jnp.sum(e))
-    diff = eta - mu
-    return 0.5 * jnp.dot(diff, siginv @ diff) - ll + Nd * lse
+def _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg: NewtonConfig):
+    """Damped Newton for a chunk. Returns (eta (B,K-1), n_iters (B,))."""
+    B, K, _ = beta_doc.shape
+    Nd = jnp.sum(counts, axis=1)
+    cg_iters = min(cfg.cg_iters, K - 1)
+    ts = (0.5 ** jnp.arange(cfg.max_backtracks, dtype=eta0.dtype))  # 1, 1/2, ...
 
+    def cond(st):
+        _eta, it, done, _n = st
+        return jnp.logical_and(it < cfg.max_iters, ~jnp.all(done))
 
-def _doc_newton(beta_doc, counts, mu, siginv, cfg: NewtonConfig, eta0):
-    """Damped Newton for one document. Returns (eta, n_iters)."""
-    Nd = jnp.sum(counts)
-    dtype = eta0.dtype
-
-    def cond(state):
-        _, it, done = state
-        return jnp.logical_and(~done, it < cfg.max_iters)
-
-    def body(state):
-        eta, it, _ = state
-        f, g, H, _, _ = _f_g_H(
-            eta, beta_doc, counts, mu, siginv, Nd, bf16=cfg.bf16_hessian
+    def body(st):
+        eta, it, done, n_iters = st
+        f, g, H, _, _ = _f_g_H_batched(
+            eta, beta_doc, counts, mu, siginv, Nd, cfg.bf16_hessian
         )
-        gnorm = jnp.max(jnp.abs(g))
-        converged = gnorm <= cfg.grad_tol
+        conv = jnp.max(jnp.abs(g), axis=1) <= cfg.grad_tol
 
-        p = _cg_direction(H, g, cfg.cg_iters)
-        gTp = jnp.dot(g, p)
-        # fall back to steepest descent if the direction is not a descent
-        # direction (possible when H is indefinite far from the optimum)
-        bad_dir = gTp >= 0
-        p = jnp.where(bad_dir, -g, p)
-        gTp = jnp.where(bad_dir, -jnp.dot(g, g), gTp)
+        p = _cg_batched(H, g, cg_iters)
+        gTp = jnp.sum(g * p, axis=1)
+        bad = gTp >= 0
+        p = jnp.where(bad[:, None], -g, p)
+        gTp = jnp.where(bad, -jnp.sum(g * g, axis=1), gTp)
 
-        # Armijo backtracking: t in {1, 1/2, 1/4, ...}
-        def ls_cond(ls):
-            t, fnew, j = ls
-            insufficient = fnew > f + 1e-4 * t * gTp
-            return jnp.logical_and(insufficient, j < cfg.max_backtracks)
+        # parallel Armijo sweep: first (largest) acceptable step size
+        fs = _f_multi(eta, p, ts, beta_doc, counts, mu, siginv, Nd)  # (B, T)
+        ok = fs <= f[:, None] + 1e-4 * ts[None, :] * gTp[:, None]
+        any_ok = jnp.any(ok, axis=1)
+        first = jnp.argmax(ok, axis=1)
+        t = ts[first]
 
-        def ls_body(ls):
-            t, _, j = ls
-            t = 0.5 * t
-            fnew = _f_only(eta + t * p, beta_doc, counts, mu, siginv, Nd)
-            return (t, fnew, j + 1)
+        advance = jnp.logical_and(~done, ~conv)
+        step = jnp.logical_and(advance, any_ok)
+        eta = jnp.where(step[:, None], eta + t[:, None] * p, eta)
+        n_iters = n_iters + advance.astype(jnp.int32)
+        done = jnp.logical_or(done, jnp.logical_or(conv, ~any_ok))
+        return (eta, it + 1, done, n_iters)
 
-        t0 = jnp.asarray(1.0, dtype)
-        f1 = _f_only(eta + t0 * p, beta_doc, counts, mu, siginv, Nd)
-        t, fnew, _ = jax.lax.while_loop(ls_cond, ls_body, (t0, f1, 0))
-        accepted = fnew <= f + 1e-4 * t * gTp
-        stuck = ~accepted
+    st0 = (
+        eta0,
+        jnp.int32(0),
+        jnp.zeros(B, bool),
+        jnp.zeros(B, jnp.int32),
+    )
+    eta, _, _, n_iters = jax.lax.while_loop(cond, body, st0)
+    return eta, n_iters
 
-        new_eta = jnp.where(jnp.logical_or(converged, stuck), eta, eta + t * p)
-        done = jnp.logical_or(converged, stuck)
-        return (new_eta, it + 1, done)
 
-    eta, it, _ = jax.lax.while_loop(cond, body, (eta0, jnp.int32(0), jnp.bool_(False)))
-    return eta, it
+def _make_pd_batched(M):
+    """Batched diagonal-dominance repair (reference make_pd, stm.py:964-984)."""
+    K = M.shape[-1]
+    eye = jnp.eye(K, dtype=M.dtype)[None]
+    dvec = jnp.diagonal(M, axis1=1, axis2=2)
+    mag = jnp.sum(jnp.abs(M), axis=2) - jnp.abs(dvec)
+    new_d = jnp.maximum(dvec, mag)
+    return M * (1.0 - eye) + new_d[:, :, None] * eye
+
+
+def _chol_pd_batched(H, jitter: float = 1e-5):
+    """Batched 3-rung PD-repair Cholesky ladder (stm.py:1017-1050)."""
+    K = H.shape[-1]
+    L1 = jnp.linalg.cholesky(H)
+    ok1 = jnp.all(jnp.isfinite(L1.reshape(H.shape[0], -1)), axis=1)
+    H2 = _make_pd_batched(H)
+    L2 = jnp.linalg.cholesky(H2)
+    ok2 = jnp.all(jnp.isfinite(L2.reshape(H.shape[0], -1)), axis=1)
+    L3 = jnp.linalg.cholesky(H2 + jitter * jnp.eye(K, dtype=H.dtype)[None])
+    sel = ok1[:, None, None]
+    sel2 = ok2[:, None, None]
+    return jnp.where(sel, L1, jnp.where(sel2, L2, L3))
+
+
+def _finalize_chunk(eta, beta_doc, counts, mu, doc_w, siginv, sigmaentropy, Nd):
+    """Per-doc nu / bound / phi / theta at the converged eta (float32)."""
+    _f, _g, H, theta, phi_hat = _f_g_H_batched(
+        eta, beta_doc, counts, mu, siginv, Nd, bf16=False
+    )
+    L = _chol_pd_batched(H)
+    nu = jax.vmap(cho_inverse)(L)
+
+    # per-doc ELBO, reference lower_bound (stm.py:1068-1101)
+    eta_full = _pad_eta(eta)
+    m = jnp.max(eta_full, axis=1, keepdims=True)
+    e = jnp.exp(eta_full - m)
+    t_l = jnp.einsum("bk,bkl->bl", theta * e, beta_doc)
+    t_l = jnp.maximum(t_l, jnp.asarray(1e-35, eta.dtype))
+    cmask = counts > 0
+    loglik = jnp.sum(
+        jnp.where(cmask, counts * (jnp.log(t_l) + m), 0.0), axis=1
+    )
+    detTerm = -jnp.sum(jnp.log(jnp.diagonal(L, axis1=1, axis2=2)), axis=1)
+    diff = eta - mu
+    quad = 0.5 * jnp.sum((diff @ siginv) * diff, axis=1)
+    bound = loglik + detTerm - quad - sigmaentropy
+
+    phi = phi_hat * counts[:, None, :]  # (B, K, L) expected token-topic counts
+
+    nu = doc_w[:, None, None] * nu
+    bound = doc_w * bound
+    phi = doc_w[:, None, None] * phi
+    return theta, nu, bound, phi
+
+
+# ---------------------------------------------------------------------------
+# single-doc wrapper (tests / reference-parity checks)
+# ---------------------------------------------------------------------------
 
 
 def _doc_estep(beta_doc, counts, mu, eta0, doc_w, siginv, sigmaentropy, cfg: NewtonConfig):
-    """Full E-step for one document (vmapped over a chunk).
+    """E-step for ONE document. Returns (eta, theta, nu, bound, phi, n_iters)."""
+    bd = beta_doc[None]
+    c = counts[None]
+    eta, n_iters = _batched_newton(bd, c, mu[None], eta0[None], siginv, cfg)
+    Nd = jnp.sum(c, axis=1)
+    theta, nu, bound, phi = _finalize_chunk(
+        eta, bd, c, mu[None], jnp.asarray([doc_w], eta.dtype), siginv,
+        sigmaentropy, Nd,
+    )
+    return eta[0], theta[0], nu[0], bound[0], phi[0], n_iters[0]
 
-    Returns (eta, theta, nu, bound, phi, n_iters); dummy documents
-    (doc_w == 0) contribute zeros to all sufficient statistics.
-    """
-    Nd = jnp.sum(counts)
-    eta, n_iters = _doc_newton(beta_doc, counts, mu, siginv, cfg, eta0)
 
-    # final Hessian with the reference's exact repair ladder -> nu, bound
-    _, _, H, theta, phi_hat = _f_g_H(eta, beta_doc, counts, mu, siginv, Nd)
-    L = chol_pd(H)
-    nu = cho_inverse(L)
-
-    # per-doc ELBO, reference lower_bound (stm.py:1068-1101):
-    #   log(theta @ (beta_doc * e^eta)) @ c - sum log diag L
-    #   - 0.5 (eta-mu)^T siginv (eta-mu) - sigmaentropy
-    eta_full = jnp.concatenate([eta, jnp.zeros((1,), eta.dtype)])
-    m = jnp.max(eta_full)
-    e = jnp.exp(eta_full - m)
-    t_l = jnp.maximum((theta * e) @ beta_doc, jnp.asarray(1e-35, eta.dtype))
-    cmask = counts > 0
-    loglik = jnp.sum(jnp.where(cmask, counts * (jnp.log(t_l) + m), 0.0))
-    detTerm = -jnp.sum(jnp.log(jnp.diagonal(L)))
-    diff = eta - mu
-    bound = loglik + detTerm - 0.5 * jnp.dot(diff, siginv @ diff) - sigmaentropy
-
-    # phi sufficient statistics: expected token-topic counts c_l * phi_hat
-    phi = phi_hat * counts[None, :]  # (K, L)
-
-    nu = doc_w * nu
-    bound = doc_w * bound
-    phi = doc_w * phi
-    return eta, theta, nu, bound, phi, n_iters
+def _f_g_H(eta, beta_doc, counts, mu, siginv, Nd, bf16: bool = False):
+    """Single-doc objective/gradient/Hessian (test surface)."""
+    f, g, H, theta, phi_hat = _f_g_H_batched(
+        eta[None], beta_doc[None], counts[None], mu[None], siginv,
+        jnp.asarray(Nd)[None], bf16,
+    )
+    return f[0], g[0], H[0], theta[0], phi_hat[0]
 
 
 # ---------------------------------------------------------------------------
@@ -262,22 +308,14 @@ def _doc_estep(beta_doc, counts, mu, eta0, doc_w, siginv, sigmaentropy, cfg: New
 
 
 def _gather_beta(beta, words, aspects):
-    """Gather per-doc topic-word slices.
-
-    beta (K, V) or (A, K, V); words (B, L); aspects (B,).
-    Returns (B, K, L).
-    """
+    """Gather per-doc topic-word slices -> (B, K, L)."""
     if beta.ndim == 2:
         return jnp.transpose(jnp.take(beta, words, axis=1), (1, 0, 2))
-    gathered = jax.vmap(lambda a, w: jnp.take(beta[a], w, axis=1))(aspects, words)
-    return gathered
+    return jax.vmap(lambda a, w: jnp.take(beta[a], w, axis=1))(aspects, words)
 
 
 def _scatter_phi(beta_ss, phi, words, aspects):
-    """beta_ss[(aspect,) :, words] += phi for a whole chunk at once.
-
-    beta_ss (K, V) or (A, K, V); phi (B, K, L); words (B, L).
-    """
+    """beta_ss[(aspect,) :, words] += phi for a whole chunk at once."""
     B, K, L = phi.shape
     phi_flat = jnp.transpose(phi, (1, 0, 2)).reshape(K, B * L)
     if beta_ss.ndim == 2:
@@ -335,17 +373,15 @@ def run_estep(
     beta_ss0 = jnp.zeros(beta.shape, beta.dtype)
     sigma_ss0 = jnp.zeros((K - 1, K - 1), beta.dtype)
 
-    doc_fn = jax.vmap(
-        _doc_estep, in_axes=(0, 0, 0, 0, 0, None, None, None)
-    )
-
     def chunk_fn(carry, chunk):
         beta_ss, sigma_ss = carry
         w, c, mu_c, eta_c, asp, ok = chunk
         doc_w = ok.astype(beta.dtype)
         beta_doc = _gather_beta(beta, w, asp)
-        eta, theta, nu, bound_d, phi, iters = doc_fn(
-            beta_doc, c, mu_c, eta_c, doc_w, siginv, sigmaentropy, cfg
+        Nd = jnp.sum(c, axis=1)
+        eta, iters = _batched_newton(beta_doc, c, mu_c, eta_c, siginv, cfg)
+        theta, nu, bound_d, phi = _finalize_chunk(
+            eta, beta_doc, c, mu_c, doc_w, siginv, sigmaentropy, Nd
         )
         beta_ss = _scatter_phi(beta_ss, phi, w, asp)
         sigma_ss = sigma_ss + jnp.sum(nu, axis=0)
