@@ -52,6 +52,8 @@ def local_estep_stats(state: STMState, data: CorpusData, cfg: STMConfig):
         max_iters=cfg.newton_max_iters,
         grad_tol=cfg.newton_grad_tol,
         max_backtracks=cfg.newton_max_backtracks,
+        cg_iters=cfg.newton_cg_iters,
+        bf16_hessian=cfg.newton_bf16_hessian,
     )
     res = run_estep(
         state.beta,
