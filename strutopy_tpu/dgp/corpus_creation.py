@@ -163,7 +163,15 @@ class CorpusCreation:
             self.remove_infrequent_terms()
         if dictionary:
             self.dictionary = Vocabulary.from_corpus(self.documents, V=self.V)
+        if display_props:
+            self.display_props()
         return self
+
+    def display_props(self, path=None):
+        """Topic-proportion bar chart (reference generate_docs.py:353-379)."""
+        from strutopy_tpu.eval.plots import display_props as _dp
+
+        return _dp(self.theta, path=path)
 
     def _sample_documents(self):
         if self.dgp == "LDA" and self.treatment:

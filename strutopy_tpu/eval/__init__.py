@@ -7,6 +7,8 @@ from strutopy_tpu.eval.diagnostics import (
     exclusivity,
     semantic_coherence,
 )
+from strutopy_tpu.eval.perplexity import perplexity
+from strutopy_tpu.eval.graph import topic_correlations, topic_graph
 
 __all__ = [
     "eval_heldout",
@@ -19,4 +21,7 @@ __all__ = [
     "find_thoughts",
     "exclusivity",
     "semantic_coherence",
+    "perplexity",
+    "topic_correlations",
+    "topic_graph",
 ]

@@ -49,7 +49,7 @@ class STMConfig:
     newton_max_iters: int = 24
     newton_grad_tol: float = 1e-5  # scipy BFGS gtol default the reference relies on
     newton_max_backtracks: int = 12
-    newton_cg_iters: int = 24  # Steihaug CG steps (capped at K-1)
+    newton_cg_iters: int = 12  # Steihaug CG steps (capped at K-1)
     newton_bf16_hessian: bool = True  # bf16 MXU matmul for the in-loop Hessian
     # execution
     batch_size: int = 1024  # docs per E-step scan chunk (per device)

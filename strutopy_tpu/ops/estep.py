@@ -53,7 +53,7 @@ class NewtonConfig(NamedTuple):
     max_iters: int = 24
     grad_tol: float = 1e-5
     max_backtracks: int = 12
-    cg_iters: int = 24  # inner CG steps (capped at K-1 internally)
+    cg_iters: int = 12  # inner CG steps (capped at K-1 internally)
     bf16_hessian: bool = True  # bf16 MXU matmuls for the *in-loop* Hessian
 
 
@@ -141,15 +141,22 @@ def _f_multi(eta, p, ts, beta_doc, counts, mu, siginv, Nd):
     return quad - ll + Nd[:, None] * lse
 
 
-def _cg_batched(H, g, iters: int):
+def _cg_batched(H, g, iters: int, bf16: bool = True):
     """Steihaug truncated CG for the whole chunk, fully unrolled.
 
     Pure batched matvecs — no lax loop, so the TPU compiler sees
     straight-line code.  Freezes each lane at its first
     negative-curvature direction (descent guaranteed); Jacobi
     preconditioned with the abs-diagonal (safe for indefinite H).
+
+    The repeated H reads dominate HBM traffic (B*K^2*4 bytes per CG
+    step); with ``bf16`` the matvec operand is bfloat16 (float32
+    accumulate + float32 CG recurrences), halving that traffic — the
+    direction is guarded by the Armijo sweep, so reduced matvec
+    precision only perturbs the path, not the fixed point.
     """
     dinv = 1.0 / jnp.maximum(jnp.abs(jnp.diagonal(H, axis1=1, axis2=2)), 1e-20)
+    Hm = H.astype(jnp.bfloat16) if bf16 else H
     r = -g
     z = dinv * r
     p = z
@@ -157,7 +164,10 @@ def _cg_batched(H, g, iters: int):
     x = jnp.zeros_like(g)
     active = jnp.ones(g.shape[0], bool)
     for _ in range(iters):
-        Ap = jnp.einsum("bij,bj->bi", H, p)
+        Ap = jnp.einsum(
+            "bij,bj->bi", Hm, p.astype(Hm.dtype),
+            preferred_element_type=jnp.float32,
+        )
         pAp = jnp.sum(p * Ap, axis=1)
         active = jnp.logical_and(active, pAp > 1e-30)
         alpha = rz / jnp.where(pAp > 1e-30, pAp, 1.0)
@@ -190,7 +200,7 @@ def _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg: NewtonConfig):
         )
         conv = jnp.max(jnp.abs(g), axis=1) <= cfg.grad_tol
 
-        p = _cg_batched(H, g, cg_iters)
+        p = _cg_batched(H, g, cg_iters, bf16=cfg.bf16_hessian)
         gTp = jnp.sum(g * p, axis=1)
         bad = gTp >= 0
         p = jnp.where(bad[:, None], -g, p)
@@ -231,17 +241,25 @@ def _make_pd_batched(M):
 
 
 def _chol_pd_batched(H, jitter: float = 1e-5):
-    """Batched 3-rung PD-repair Cholesky ladder (stm.py:1017-1050)."""
+    """Batched 3-rung PD-repair Cholesky ladder (stm.py:1017-1050).
+
+    The repair rungs run under a scalar ``lax.cond``: at the converged
+    eta the Hessian is almost always PD, so the common case pays for a
+    single batched factorization.
+    """
     K = H.shape[-1]
     L1 = jnp.linalg.cholesky(H)
     ok1 = jnp.all(jnp.isfinite(L1.reshape(H.shape[0], -1)), axis=1)
-    H2 = _make_pd_batched(H)
-    L2 = jnp.linalg.cholesky(H2)
-    ok2 = jnp.all(jnp.isfinite(L2.reshape(H.shape[0], -1)), axis=1)
-    L3 = jnp.linalg.cholesky(H2 + jitter * jnp.eye(K, dtype=H.dtype)[None])
-    sel = ok1[:, None, None]
-    sel2 = ok2[:, None, None]
-    return jnp.where(sel, L1, jnp.where(sel2, L2, L3))
+
+    def repair(_):
+        H2 = _make_pd_batched(H)
+        L2 = jnp.linalg.cholesky(H2)
+        ok2 = jnp.all(jnp.isfinite(L2.reshape(H.shape[0], -1)), axis=1)
+        L3 = jnp.linalg.cholesky(H2 + jitter * jnp.eye(K, dtype=H.dtype)[None])
+        fixed = jnp.where(ok2[:, None, None], L2, L3)
+        return jnp.where(ok1[:, None, None], L1, fixed)
+
+    return jax.lax.cond(jnp.all(ok1), lambda _: L1, repair, operand=None)
 
 
 def _finalize_chunk(eta, beta_doc, counts, mu, doc_w, siginv, sigmaentropy, Nd):
