@@ -67,6 +67,7 @@ def local_estep_stats(state: STMState, data: CorpusData, cfg: STMConfig):
         data.doc_ok,
         cfg=ncfg,
         batch_size=cfg.batch_size,
+        use_pallas=cfg.use_pallas,
     )
     mom = mstep.eta_moments(data.D, res.eta)
     stats = GlobalStats(

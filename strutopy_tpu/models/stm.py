@@ -137,8 +137,16 @@ class STM:
             aspects[: len(bi)] = bi
         self.betaindex = aspects
 
+        # the content model needs the covariate design; lda_beta=False
+        # without content covariates is the A=1 SAGE topic model
+        # (reference stm.py:767-768: covar = I_K)
         self._kappa_design = (
-            mstep.build_kappa_design(config.K, config.A, True) if config.content else None
+            mstep.build_kappa_design(
+                config.K, config.A,
+                config.kappa_interactions if config.content else False,
+            )
+            if (config.content or not config.lda_beta)
+            else None
         )
         self._wcounts = corpus.word_counts()
 

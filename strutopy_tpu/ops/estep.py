@@ -45,8 +45,16 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from strutopy_tpu.ops.linalg import cho_inverse
+
+
+def _batch_diag(H):
+    """Diagonal of a (B, K, K) stack without gather ops (Pallas-safe)."""
+    K = H.shape[-1]
+    eye = jnp.eye(K, dtype=H.dtype)
+    return jnp.sum(H * eye[None], axis=2)
 
 
 class NewtonConfig(NamedTuple):
@@ -155,7 +163,7 @@ def _cg_batched(H, g, iters: int, bf16: bool = True):
     direction is guarded by the Armijo sweep, so reduced matvec
     precision only perturbs the path, not the fixed point.
     """
-    dinv = 1.0 / jnp.maximum(jnp.abs(jnp.diagonal(H, axis1=1, axis2=2)), 1e-20)
+    dinv = 1.0 / jnp.maximum(jnp.abs(_batch_diag(H)), 1e-20)
     Hm = H.astype(jnp.bfloat16) if bf16 else H
     r = -g
     z = dinv * r
@@ -187,7 +195,11 @@ def _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg: NewtonConfig):
     B, K, _ = beta_doc.shape
     Nd = jnp.sum(counts, axis=1)
     cg_iters = min(cfg.cg_iters, K - 1)
-    ts = (0.5 ** jnp.arange(cfg.max_backtracks, dtype=eta0.dtype))  # 1, 1/2, ...
+    # step ladder 1, 1/2, 1/4, ... built via 2D iota (Pallas-safe: TPU
+    # kernels reject 1D iota and captured host constants alike)
+    ts = jnp.exp2(
+        -jax.lax.broadcasted_iota(eta0.dtype, (cfg.max_backtracks, 1), 0)
+    )[:, 0]
 
     def cond(st):
         _eta, it, done, _n = st
@@ -210,8 +222,9 @@ def _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg: NewtonConfig):
         fs = _f_multi(eta, p, ts, beta_doc, counts, mu, siginv, Nd)  # (B, T)
         ok = fs <= f[:, None] + 1e-4 * ts[None, :] * gTp[:, None]
         any_ok = jnp.any(ok, axis=1)
-        first = jnp.argmax(ok, axis=1)
-        t = ts[first]
+        # ts is descending, so the first acceptable step is the largest:
+        # gather-free select (Pallas-safe)
+        t = jnp.max(jnp.where(ok, ts[None, :], 0.0), axis=1)
 
         advance = jnp.logical_and(~done, ~conv)
         step = jnp.logical_and(advance, any_ok)
@@ -346,7 +359,9 @@ def _scatter_phi(beta_ss, phi, words, aspects):
     return jnp.transpose(flat.reshape(K, A, V), (1, 0, 2))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "batch_size"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "batch_size", "use_pallas", "pallas_block")
+)
 def run_estep(
     beta,
     mu,
@@ -359,6 +374,8 @@ def run_estep(
     doc_ok,
     cfg: NewtonConfig = NewtonConfig(),
     batch_size: int = 1024,
+    use_pallas: bool = False,
+    pallas_block: int = 16,
 ) -> EStepResult:
     """E-step over a (shard of a) corpus.
 
@@ -397,7 +414,15 @@ def run_estep(
         doc_w = ok.astype(beta.dtype)
         beta_doc = _gather_beta(beta, w, asp)
         Nd = jnp.sum(c, axis=1)
-        eta, iters = _batched_newton(beta_doc, c, mu_c, eta_c, siginv, cfg)
+        if use_pallas:
+            from strutopy_tpu.ops.pallas_estep import pallas_newton_impl
+
+            eta, iters = pallas_newton_impl(
+                beta_doc, c, mu_c, eta_c, siginv, cfg=cfg,
+                block_docs=pallas_block,
+            )
+        else:
+            eta, iters = _batched_newton(beta_doc, c, mu_c, eta_c, siginv, cfg)
         theta, nu, bound_d, phi = _finalize_chunk(
             eta, beta_doc, c, mu_c, doc_w, siginv, sigmaentropy, Nd
         )

@@ -1,0 +1,96 @@
+"""Fused Pallas TPU kernel for the E-step Newton solve.
+
+The XLA path (ops/estep.py) re-reads the gathered ``beta_doc`` block
+and re-materializes (B, K, L) intermediates from HBM on every Newton
+iteration — ~15 HBM passes per iteration.  This kernel pins one block
+of documents in VMEM and runs the ENTIRE damped-Newton loop there:
+``beta_doc`` is read from HBM exactly once per document per E-step,
+all intermediates (phi_hat, H, line-search candidates) live on-chip,
+and Mosaic double-buffers the next block's DMA against the current
+block's compute.
+
+The math is literally the same code as the XLA path — the kernel body
+calls :func:`strutopy_tpu.ops.estep._batched_newton` on VMEM-resident
+values (it was written Pallas-safe: no gathers, no iota, constant step
+ladder) — so there is one implementation of the solver semantics with
+two execution strategies.
+
+Use via ``STMConfig(use_pallas=True)`` (TPU only); falls back to the
+XLA path on CPU/interpret problems.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from strutopy_tpu.ops.estep import NewtonConfig, _batched_newton
+
+try:  # pallas imports fail gracefully on unsupported backends
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+
+def _newton_kernel(siginv_ref, beta_doc_ref, counts_ref, mu_ref, eta0_ref,
+                   eta_out_ref, iters_out_ref, *, cfg: NewtonConfig):
+    beta_doc = beta_doc_ref[:]
+    counts = counts_ref[:]
+    mu = mu_ref[:]
+    eta0 = eta0_ref[:]
+    siginv = siginv_ref[:]
+    eta, n_iters = _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg)
+    eta_out_ref[:] = eta
+    iters_out_ref[:] = n_iters.astype(jnp.int32)
+
+
+def pallas_newton_impl(
+    beta_doc,  # (B, K, L)
+    counts,  # (B, L)
+    mu,  # (B, K-1)
+    eta0,  # (B, K-1)
+    siginv,  # (K-1, K-1)
+    cfg: NewtonConfig = NewtonConfig(),
+    block_docs: int = 16,
+    interpret: bool = False,
+):
+    """Fused Newton solve: returns (eta (B, K-1), n_iters (B,))."""
+    B, K, L = beta_doc.shape
+    Km1 = K - 1
+    Bb = min(block_docs, B)
+    if B % Bb != 0:
+        raise ValueError(f"B={B} must be a multiple of block_docs={Bb}")
+    grid = (B // Bb,)
+
+    kernel = functools.partial(_newton_kernel, cfg=cfg)
+    eta, iters = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Km1, Km1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, K, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, Km1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, Km1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Bb, Km1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Km1), beta_doc.dtype),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(siginv, beta_doc, counts, mu, eta0)
+    return eta, iters
+
+
+pallas_newton = jax.jit(
+    pallas_newton_impl, static_argnames=("cfg", "block_docs", "interpret")
+)

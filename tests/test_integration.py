@@ -136,3 +136,24 @@ def test_baseline_regression(toy_fit):
     np.testing.assert_allclose(m["final_bound"], baseline["final_bound"], rtol=0.01)
     if np.isfinite(baseline["heldout_ll"]):
         np.testing.assert_allclose(m["heldout_ll"], baseline["heldout_ll"], rtol=0.05)
+
+
+def test_sage_topic_model_no_content(toy_corpus, toy_dictionary, toy_metadata):
+    """lda_beta=False without content covariates: the A=1 SAGE topic
+    model (reference mnreg with covar = I_K, stm.py:767-768)."""
+    train = toy_corpus.train_docs
+    m = STM(
+        documents=train,
+        dictionary=toy_dictionary,
+        K=3,
+        X=toy_metadata[: len(train)],
+        lda_beta=False,
+        max_em_iter=2,
+        init_type="random",
+        model_type="CTM",
+    )
+    m.expectation_maximization(saving=False)
+    assert m.beta.shape == (3, len(toy_dictionary))
+    np.testing.assert_allclose(m.beta.sum(axis=1), 1.0, atol=1e-4)
+    assert m.kappa.shape == (3, len(toy_dictionary))
+    assert np.isfinite(m.last_bounds).all()
