@@ -1,0 +1,98 @@
+"""Integration on the reference's REAL wiki corpus (read-only data
+fixtures from /root/reference/src/artifacts/wiki_data): .mm parsing at
+scale, spline prevalence design, and a short real-data fit."""
+
+import os
+
+import numpy as np
+import pytest
+
+WIKI = "/root/reference/src/artifacts/wiki_data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(WIKI), reason="reference wiki artifacts not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def wiki_corpus():
+    from strutopy_tpu.corpus.io import read_mm
+
+    return read_mm(os.path.join(WIKI, "BoW_corpus.mm"))
+
+
+def test_wiki_mm_shape(wiki_corpus):
+    # reference stm_config.json: 1015 docs, 13852 terms
+    assert len(wiki_corpus) == 1015
+    vmax = max(w for doc in wiki_corpus for (w, _) in doc)
+    assert vmax + 1 == 13852
+
+
+def test_wiki_native_reader_agrees(wiki_corpus):
+    from strutopy_tpu.corpus import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    padded = native.read_mm_padded(os.path.join(WIKI, "BoW_corpus.mm"))
+    assert padded.N == 1015
+    assert padded.V == 13852
+    from strutopy_tpu.corpus.bow import to_bow
+
+    bow = to_bow(padded)
+    assert bow[0] == [(int(w), int(c)) for w, c in wiki_corpus[0]]
+    assert bow[-1] == [(int(w), int(c)) for w, c in wiki_corpus[-1]]
+
+
+def test_bspline_basis_properties():
+    from strutopy_tpu.ops.design import bspline_basis, interact, prevalence_matrix
+
+    x = np.linspace(0, 1, 200) ** 2
+    B = bspline_basis(x, df=8)
+    assert B.shape == (200, 8)
+    assert np.all(B >= 0) and np.all(B <= 1)
+    # B-spline basis (with the dropped first column restored by the
+    # intercept) forms a partition of unity: row sums are <= 1
+    assert np.all(B.sum(axis=1) <= 1.0 + 1e-9)
+    # smoothness: the basis reproduces a smooth function via least squares
+    y = np.sin(3 * x)
+    coef, *_ = np.linalg.lstsq(np.c_[np.ones(200), B], y, rcond=None)
+    resid = y - np.c_[np.ones(200), B] @ coef
+    assert np.abs(resid).max() < 0.05
+
+    Z = interact(B[:, :2], np.c_[x])
+    assert Z.shape == (200, 2)
+    D = prevalence_matrix(x, B)
+    assert D.shape == (200, 9)
+
+
+def test_wiki_fit_with_spline_prevalence(wiki_corpus):
+    """Short real-data fit: K=5, spline prevalence design, random init.
+
+    Uses a 300-doc subsample so the CPU test stays fast; this is the
+    BASELINE.json wiki configuration in miniature."""
+    from strutopy_tpu.models.stm import STM
+    from strutopy_tpu.ops.design import bspline_basis
+
+    docs = wiki_corpus[:300]
+    X_np = np.load(os.path.join("/root/reference/src/artifacts/reference_model/50", "X.npy"))
+    x = np.asarray(X_np, np.float64).ravel()[:300]
+    # a binary covariate + a spline of a synthetic continuous covariate
+    rng = np.random.default_rng(0)
+    cont = rng.uniform(size=300)
+    D = np.c_[x, bspline_basis(cont, df=5)]
+
+    model = STM(
+        documents=docs,
+        K=5,
+        X=D,
+        max_em_iter=2,
+        init_type="random",
+        model_type="STM",
+        mode="ols",
+        batch_size=128,
+    )
+    model.expectation_maximization(saving=False)
+    assert np.isfinite(model.last_bounds).all()
+    assert model.last_bounds[1] > model.last_bounds[0]
+    assert model.gamma.shape == (4, 1 + 6)  # K-1 x (intercept + 6 columns)
+    np.testing.assert_allclose(model.theta.sum(axis=1), 1.0, atol=1e-4)
