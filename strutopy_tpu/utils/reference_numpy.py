@@ -168,3 +168,40 @@ def fit_ctm_lda(documents, V, K, n_iter=4, seed=123456):
         beta, mu, sigma = m_step_ctm_lda(beta_ss, sigma_ss, eta, N)
         bounds.append(bound)
     return bounds, beta, theta, sigma
+
+
+def m_step_stm_ols(beta_ss, sigma_ss, eta, D, sigma_prior=0.0):
+    """STM prevalence: OLS of eta on the design D (with intercept col),
+    then sigma and LDA-beta updates — the float64 twin of
+    strutopy_tpu/ops/mstep.py's default path."""
+    N = eta.shape[0]
+    gammaT, *_ = np.linalg.lstsq(D, eta, rcond=None)  # (P, K-1)
+    mu = D @ gammaT
+    resid = (eta - mu).T @ (eta - mu)
+    sigma = (resid + sigma_ss) / N
+    sigma = np.diag(np.diag(sigma)) * sigma_prior + (1 - sigma_prior) * sigma
+    rs = beta_ss.sum(axis=-1, keepdims=True)
+    beta = np.divide(beta_ss, rs, out=np.zeros_like(beta_ss), where=rs > 0)
+    return beta, mu, sigma, gammaT.T
+
+
+def fit_stm_ols(documents, V, K, X, n_iter=4, seed=123456):
+    """Mini EM driver (STM-OLS prevalence + LDA-beta), float64 oracle."""
+    rng = np.random.RandomState(seed)
+    g = rng.gamma(0.1, 1.0, (K, V))
+    beta = g / g.sum(axis=1, keepdims=True)
+    N = len(documents)
+    X = np.asarray(X, np.float64)
+    if X.ndim == 1:
+        X = X[:, None]
+    D = np.c_[np.ones(N), X]
+    mu = np.zeros((N, K - 1))
+    eta = np.zeros((N, K - 1))
+    sigma = 20.0 * np.eye(K - 1)
+    bounds = []
+    gamma = None
+    for _ in range(n_iter):
+        beta_ss, sigma_ss, bound, eta, theta = e_step(documents, beta, mu, eta, sigma)
+        beta, mu, sigma, gamma = m_step_stm_ols(beta_ss, sigma_ss, eta, D)
+        bounds.append(bound)
+    return bounds, beta, theta, sigma, gamma

@@ -157,3 +157,32 @@ def test_sage_topic_model_no_content(toy_corpus, toy_dictionary, toy_metadata):
     np.testing.assert_allclose(m.beta.sum(axis=1), 1.0, atol=1e-4)
     assert m.kappa.shape == (3, len(toy_dictionary))
     assert np.isfinite(m.last_bounds).all()
+
+
+def test_stm_ols_matches_float64_oracle(toy_corpus, toy_metadata):
+    """STM-mode (OLS prevalence) trajectory parity against the float64
+    oracle: validates the full gamma/mu/sigma prevalence path, not just
+    the CTM column-mean."""
+    from strutopy_tpu.utils.reference_numpy import fit_stm_ols
+
+    train = toy_corpus.train_docs
+    X = np.asarray(toy_metadata[: len(train)], np.float64)
+    model = STM(
+        documents=train,
+        dictionary=None,
+        K=3,
+        X=X,
+        max_em_iter=4,
+        init_type="random",
+        model_type="STM",
+        mode="ols",
+        seed=123456,
+    )
+    # align vocab size with the oracle (dictionary=None derives V from docs)
+    model.expectation_maximization(saving=False)
+    oracle_bounds, _, _, o_sigma, o_gamma = fit_stm_ols(
+        train, model.V, 3, X, n_iter=len(model.last_bounds)
+    )
+    np.testing.assert_allclose(model.last_bounds, oracle_bounds, rtol=2e-4)
+    np.testing.assert_allclose(model.gamma, o_gamma, atol=5e-3)
+    np.testing.assert_allclose(model.sigma, o_sigma, rtol=2e-2, atol=2e-3)
