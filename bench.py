@@ -67,7 +67,7 @@ def measure_tpu(docs, X):
 
     corpus = pad_corpus(docs, V=V)
     cfg = STMConfig(K=K, model_type="STM", mode="ols", init_type="random",
-                    batch_size=1024)
+                    batch_size=256)
     D_np, design = mstep.make_prevalence_design(X, corpus.doc_ok)
     data = CorpusData(
         words=jnp.asarray(corpus.words),

@@ -244,6 +244,10 @@ class STM:
                 self._state = self._em_step(self._state, self._data)
                 bound = float(self._state.bound)
                 it_dt = time.time() - it_t0
+                if cfg.debug_checks:
+                    from strutopy_tpu.utils.debug import validate_state
+
+                    validate_state(self._state, it)
                 self.last_bounds.append(bound)
                 self.docs_per_sec = self.N / max(it_dt, 1e-9)
                 logger.info(

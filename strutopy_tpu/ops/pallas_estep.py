@@ -46,7 +46,7 @@ def _newton_kernel(siginv_ref, beta_doc_ref, counts_ref, mu_ref, eta0_ref,
     siginv = siginv_ref[:]
     eta, n_iters = _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg)
     eta_out_ref[:] = eta
-    iters_out_ref[:] = n_iters.astype(jnp.int32)
+    iters_out_ref[:] = n_iters.astype(jnp.int32)[:, None]
 
 
 def pallas_newton_impl(
@@ -80,15 +80,16 @@ def pallas_newton_impl(
         ],
         out_specs=[
             pl.BlockSpec((Bb, Km1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bb,), lambda i: (i,), memory_space=pltpu.VMEM),
+            # rank-1 outputs need 128-multiple blocks on TPU; use (Bb, 1)
+            pl.BlockSpec((Bb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Km1), beta_doc.dtype),
-            jax.ShapeDtypeStruct((B,), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],
         interpret=interpret,
     )(siginv, beta_doc, counts, mu, eta0)
-    return eta, iters
+    return eta, iters[:, 0]
 
 
 pallas_newton = jax.jit(

@@ -64,3 +64,40 @@ def test_save_model_contract(tmp_path, toy_corpus, toy_dictionary, toy_metadata)
     assert (tmp_path / "stm_config.json").exists()
     beta = np.load(tmp_path / "beta_hat.npy")
     assert beta.shape == (3, len(toy_dictionary))
+
+
+def test_debug_checks_pass_on_healthy_fit(toy_corpus, toy_dictionary, toy_metadata):
+    train = toy_corpus.train_docs
+    model = STM(
+        documents=train,
+        dictionary=toy_dictionary,
+        K=3,
+        X=toy_metadata[: len(train)],
+        max_em_iter=2,
+        init_type="random",
+        model_type="CTM",
+    )
+    model.config = model.config.replace(debug_checks=True)
+    model.expectation_maximization(saving=False)
+    assert np.isfinite(model.last_bounds).all()
+
+
+def test_debug_validate_state_catches_bad_beta():
+    import jax.numpy as jnp
+    import pytest
+
+    from strutopy_tpu.models.state import STMState
+    from strutopy_tpu.utils.debug import NumericalCheckError, validate_state
+
+    bad = STMState(
+        beta=jnp.asarray([[0.5, jnp.nan]]),
+        mu=jnp.zeros((1, 1)),
+        sigma=jnp.eye(1),
+        eta=jnp.zeros((1, 1)),
+        theta=jnp.asarray([[0.5, 0.5]]),
+        gamma=jnp.zeros((1, 1)),
+        kappa=jnp.zeros((0, 2)),
+        bound=jnp.asarray(-1.0),
+    )
+    with pytest.raises(NumericalCheckError):
+        validate_state(bad, 0)
