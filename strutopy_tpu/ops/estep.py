@@ -63,6 +63,11 @@ class NewtonConfig(NamedTuple):
     max_backtracks: int = 12
     cg_iters: int = 12  # inner CG steps (capped at K-1 internally)
     bf16_hessian: bool = True  # bf16 MXU matmuls for the *in-loop* Hessian
+    # Mosaic (Pallas TPU) cannot lower dot_general with batch dimensions;
+    # this flag swaps the three batched contractions for per-doc 2D dots
+    # in fori_loops / elementwise lane-reductions.  Same math, same
+    # results — only the lowering strategy differs.
+    mosaic_safe: bool = False
 
 
 class EStepResult(NamedTuple):
@@ -85,7 +90,58 @@ def _pad_eta(eta):
     return jnp.concatenate([eta, jnp.zeros((B, 1), eta.dtype)], axis=1)
 
 
-def _f_g_H_batched(eta, beta_doc, counts, mu, siginv, Nd, bf16: bool):
+def _bmm_outer(Bm, mosaic_safe: bool):
+    """(B, K, L) x (B, K, L) -> (B, K, K) batched B @ B^T."""
+    if not mosaic_safe:
+        return jnp.einsum("bkl,bjl->bkj", Bm, Bm, preferred_element_type=jnp.float32)
+
+    B, K, _ = Bm.shape
+
+    def body(b, acc):
+        h = jax.lax.dot_general(
+            Bm[b], Bm[b],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jax.lax.dynamic_update_slice(acc, h[None], (b, 0, 0))
+
+    acc0 = jnp.zeros((B, K, K), jnp.float32)
+    return jax.lax.fori_loop(0, B, body, acc0)
+
+
+def _bmm_ls(e, beta_doc, mosaic_safe: bool):
+    """(B, T, K) x (B, K, L) -> (B, T, L) line-search logits."""
+    if not mosaic_safe:
+        return jnp.einsum("btk,bkl->btl", e, beta_doc)
+
+    B, T, _ = e.shape
+    L = beta_doc.shape[2]
+
+    def body(b, acc):
+        s = jax.lax.dot_general(
+            e[b], beta_doc[b],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jax.lax.dynamic_update_slice(acc, s[None], (b, 0, 0))
+
+    acc0 = jnp.zeros((B, T, L), jnp.float32)
+    return jax.lax.fori_loop(0, B, body, acc0)
+
+
+def _bmv(Hm, p, mosaic_safe: bool):
+    """(B, K, K) x (B, K) -> (B, K) batched matvec (CG step)."""
+    if not mosaic_safe:
+        return jnp.einsum(
+            "bij,bj->bi", Hm, p.astype(Hm.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    prod = Hm.astype(jnp.float32) * p[:, None, :].astype(jnp.float32)
+    return jnp.sum(prod, axis=2)
+
+
+def _f_g_H_batched(eta, beta_doc, counts, mu, siginv, Nd, bf16: bool,
+                   mosaic_safe: bool = False):
     """Objective, gradient, Hessian for a chunk.
 
     eta/mu (B, K-1); beta_doc (B, K, L); counts (B, L); Nd (B,).
@@ -111,7 +167,9 @@ def _f_g_H_batched(eta, beta_doc, counts, mu, siginv, Nd, bf16: bool):
 
     phi_hat = a / s_safe[:, None, :]  # (B, K, L)
     phi_hat = jnp.where(cmask[:, None, :], phi_hat, 0.0)
-    q = jnp.einsum("bkl,bl->bk", phi_hat, counts)  # (B, K)
+    # q = einsum("bkl,bl->bk"): lane-reduction form is Mosaic-safe and
+    # fuses identically under XLA
+    q = jnp.sum(phi_hat * counts[:, None, :], axis=2)  # (B, K)
     g_full = Nd[:, None] * theta - q
     g = sdiff + g_full[:, :-1]
 
@@ -121,7 +179,7 @@ def _f_g_H_batched(eta, beta_doc, counts, mu, siginv, Nd, bf16: bool):
         Bm = Bmat.astype(jnp.bfloat16)
     else:
         Bm = Bmat
-    Hll = jnp.einsum("bkl,bjl->bkj", Bm, Bm, preferred_element_type=jnp.float32)
+    Hll = _bmm_outer(Bm, mosaic_safe)
     Hll = Hll - (Nd[:, None, None] * theta[:, :, None]) * theta[:, None, :]
     dcorr = Nd[:, None] * theta - q  # (B, K)
     Hll = Hll + dcorr[:, :, None] * jnp.eye(K, dtype=Hll.dtype)[None]
@@ -129,14 +187,14 @@ def _f_g_H_batched(eta, beta_doc, counts, mu, siginv, Nd, bf16: bool):
     return f, g, H, theta, phi_hat
 
 
-def _f_multi(eta, p, ts, beta_doc, counts, mu, siginv, Nd):
+def _f_multi(eta, p, ts, beta_doc, counts, mu, siginv, Nd, mosaic_safe: bool = False):
     """f(eta + t*p) for all T step sizes at once -> (B, T)."""
     cand = eta[:, None, :] + ts[None, :, None] * p[:, None, :]  # (B, T, K-1)
-    B, T, _ = cand.shape
+    B, T, P = cand.shape
     cand_full = jnp.concatenate([cand, jnp.zeros((B, T, 1), cand.dtype)], axis=2)
     m = jnp.max(cand_full, axis=2, keepdims=True)
     e = jnp.exp(cand_full - m)  # (B, T, K)
-    s = jnp.einsum("btk,bkl->btl", e, beta_doc)
+    s = _bmm_ls(e, beta_doc, mosaic_safe)
     s = jnp.maximum(s, jnp.asarray(1e-35, s.dtype))
     cmask = counts > 0
     ll = jnp.sum(
@@ -145,11 +203,13 @@ def _f_multi(eta, p, ts, beta_doc, counts, mu, siginv, Nd):
     )
     lse = (m[:, :, 0] + jnp.log(jnp.sum(e, axis=2)))
     diff = cand - mu[:, None, :]
-    quad = 0.5 * jnp.einsum("bti,ij,btj->bt", diff, siginv, diff)
+    # (B*T, P) @ (P, P) 2D matmul, then elementwise reduce (Mosaic-safe)
+    dsig = (diff.reshape(B * T, P) @ siginv).reshape(B, T, P)
+    quad = 0.5 * jnp.sum(diff * dsig, axis=2)
     return quad - ll + Nd[:, None] * lse
 
 
-def _cg_batched(H, g, iters: int, bf16: bool = True):
+def _cg_batched(H, g, iters: int, bf16: bool = True, mosaic_safe: bool = False):
     """Steihaug truncated CG for the whole chunk, fully unrolled.
 
     Pure batched matvecs — no lax loop, so the TPU compiler sees
@@ -172,10 +232,7 @@ def _cg_batched(H, g, iters: int, bf16: bool = True):
     x = jnp.zeros_like(g)
     active = jnp.ones(g.shape[0], bool)
     for _ in range(iters):
-        Ap = jnp.einsum(
-            "bij,bj->bi", Hm, p.astype(Hm.dtype),
-            preferred_element_type=jnp.float32,
-        )
+        Ap = _bmv(Hm, p, mosaic_safe)
         pAp = jnp.sum(p * Ap, axis=1)
         active = jnp.logical_and(active, pAp > 1e-30)
         alpha = rz / jnp.where(pAp > 1e-30, pAp, 1.0)
@@ -208,18 +265,23 @@ def _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg: NewtonConfig):
     def body(st):
         eta, it, done, n_iters = st
         f, g, H, _, _ = _f_g_H_batched(
-            eta, beta_doc, counts, mu, siginv, Nd, cfg.bf16_hessian
+            eta, beta_doc, counts, mu, siginv, Nd, cfg.bf16_hessian,
+            cfg.mosaic_safe,
         )
         conv = jnp.max(jnp.abs(g), axis=1) <= cfg.grad_tol
 
-        p = _cg_batched(H, g, cg_iters, bf16=cfg.bf16_hessian)
+        p = _cg_batched(
+            H, g, cg_iters, bf16=cfg.bf16_hessian, mosaic_safe=cfg.mosaic_safe
+        )
         gTp = jnp.sum(g * p, axis=1)
         bad = gTp >= 0
         p = jnp.where(bad[:, None], -g, p)
         gTp = jnp.where(bad, -jnp.sum(g * g, axis=1), gTp)
 
         # parallel Armijo sweep: first (largest) acceptable step size
-        fs = _f_multi(eta, p, ts, beta_doc, counts, mu, siginv, Nd)  # (B, T)
+        fs = _f_multi(
+            eta, p, ts, beta_doc, counts, mu, siginv, Nd, cfg.mosaic_safe
+        )  # (B, T)
         ok = fs <= f[:, None] + 1e-4 * ts[None, :] * gTp[:, None]
         any_ok = jnp.any(ok, axis=1)
         # ts is descending, so the first acceptable step is the largest:

@@ -44,7 +44,10 @@ def _newton_kernel(siginv_ref, beta_doc_ref, counts_ref, mu_ref, eta0_ref,
     mu = mu_ref[:]
     eta0 = eta0_ref[:]
     siginv = siginv_ref[:]
-    eta, n_iters = _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg)
+    # Mosaic cannot lower batched dot_general: run the same math with
+    # per-doc 2D dots / lane-reduction matvecs
+    kcfg = cfg._replace(mosaic_safe=True)
+    eta, n_iters = _batched_newton(beta_doc, counts, mu, eta0, siginv, kcfg)
     eta_out_ref[:] = eta
     iters_out_ref[:] = n_iters.astype(jnp.int32)[:, None]
 
