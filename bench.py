@@ -69,7 +69,7 @@ def measure_tpu(docs, X):
     cfg = STMConfig(K=K, model_type="STM", mode="ols", init_type="random",
                     batch_size=256)
     D_np, design = mstep.make_prevalence_design(X, corpus.doc_ok)
-    data = CorpusData(
+    data = CorpusData.single(
         words=jnp.asarray(corpus.words),
         counts=jnp.asarray(corpus.counts),
         aspects=jnp.zeros(corpus.N, jnp.int32),

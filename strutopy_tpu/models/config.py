@@ -56,6 +56,10 @@ class STMConfig:
     dtype: str = "float32"
     use_pallas: bool = False  # fused Pallas E-step kernel (TPU only)
     debug_checks: bool = False  # host-side numerical sanitizers per EM iter
+    # length bucketing: run the E-step per document-length class at its
+    # own (static) padded L instead of the global max
+    auto_bucket: bool = True
+    max_buckets: int = 4
 
     def __post_init__(self):
         if self.K < 2:

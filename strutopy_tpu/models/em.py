@@ -8,12 +8,19 @@ prevalence/sigma/beta updates — is one pure function of
 inserts exactly three logical collectives per iteration: the psums of
 ``beta_ss``, ``sigma_ss``+bound, and the eta moments (see
 strutopy_tpu/parallel/sharding.py).
+
+Length bucketing: every per-document field of :class:`CorpusData` is a
+TUPLE with one entry per length bucket (a single entry when bucketing
+is off).  Buckets are contiguous ranges of the storage-ordered state
+arrays, so per-bucket slices of eta/mu derive from the bucket shapes —
+which are per-device shapes under shard_map and global shapes without a
+mesh, making the same code correct in both contexts.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,13 +33,21 @@ from strutopy_tpu.ops import mstep
 
 
 class CorpusData(NamedTuple):
-    """Device-resident corpus shard + covariate design."""
+    """Device-resident corpus + covariate design, per length bucket."""
 
-    words: jax.Array  # (N, L) int32
-    counts: jax.Array  # (N, L) float
-    aspects: jax.Array  # (N,) int32
-    doc_ok: jax.Array  # (N,) bool
-    D: jax.Array  # (N, P) prevalence design (zero rows for padding)
+    words: Tuple[jax.Array, ...]  # each (N_b, L_b) int32
+    counts: Tuple[jax.Array, ...]  # each (N_b, L_b) float
+    aspects: Tuple[jax.Array, ...]  # each (N_b,) int32
+    doc_ok: Tuple[jax.Array, ...]  # each (N_b,) bool
+    D: Tuple[jax.Array, ...]  # each (N_b, P); zero rows for padding
+
+    @classmethod
+    def single(cls, words, counts, aspects, doc_ok, D) -> "CorpusData":
+        return cls((words,), (counts,), (aspects,), (doc_ok,), (D,))
+
+    @property
+    def n_buckets(self) -> int:
+        return len(self.words)
 
 
 class GlobalStats(NamedTuple):
@@ -45,39 +60,86 @@ class GlobalStats(NamedTuple):
     eta_sum: jax.Array
 
 
-def local_estep_stats(state: STMState, data: CorpusData, cfg: STMConfig):
-    """E-step on the local shard -> (stats to psum, sharded eta/theta/iters)."""
-    siginv, sigmaentropy = precompute_sigma(state.sigma)
-    ncfg = NewtonConfig(
+def _newton_cfg(cfg: STMConfig) -> NewtonConfig:
+    return NewtonConfig(
         max_iters=cfg.newton_max_iters,
         grad_tol=cfg.newton_grad_tol,
         max_backtracks=cfg.newton_max_backtracks,
         cg_iters=cfg.newton_cg_iters,
         bf16_hessian=cfg.newton_bf16_hessian,
     )
-    res = run_estep(
-        state.beta,
-        state.mu,
-        state.eta,
-        siginv,
-        sigmaentropy,
-        data.words,
-        data.counts,
-        data.aspects,
-        data.doc_ok,
-        cfg=ncfg,
-        batch_size=cfg.batch_size,
-        use_pallas=cfg.use_pallas,
-    )
-    mom = mstep.eta_moments(data.D, res.eta)
+
+
+def _bucket_offsets(data: CorpusData):
+    offs = [0]
+    for w in data.words:
+        offs.append(offs[-1] + w.shape[0])
+    return offs
+
+
+def local_estep_stats(state: STMState, data: CorpusData, cfg: STMConfig,
+                      bucket_batches: Optional[Tuple[int, ...]] = None):
+    """E-step over all buckets on the local shard.
+
+    Returns (stats to psum, eta, theta, newton_iters) with the
+    per-document outputs concatenated back into storage order.
+    """
+    siginv, sigmaentropy = precompute_sigma(state.sigma)
+    ncfg = _newton_cfg(cfg)
+    offs = _bucket_offsets(data)
+
+    beta_ss = jnp.zeros(state.beta.shape, state.beta.dtype)
+    sigma_ss = jnp.zeros_like(state.sigma)
+    bound = jnp.zeros((), state.beta.dtype)
+    Dt_eta = None
+    eta_sum = jnp.zeros(state.eta.shape[1], state.eta.dtype)
+    etas, thetas, iters = [], [], []
+
+    for b in range(data.n_buckets):
+        lo, hi = offs[b], offs[b + 1]
+        n_b = hi - lo
+        B_b = (
+            bucket_batches[b]
+            if bucket_batches is not None
+            else min(cfg.batch_size, n_b)
+        )
+        res = run_estep(
+            state.beta,
+            jax.lax.slice_in_dim(state.mu, lo, hi, axis=0),
+            jax.lax.slice_in_dim(state.eta, lo, hi, axis=0),
+            siginv,
+            sigmaentropy,
+            data.words[b],
+            data.counts[b],
+            data.aspects[b],
+            data.doc_ok[b],
+            cfg=ncfg,
+            batch_size=B_b,
+            use_pallas=cfg.use_pallas,
+        )
+        mom = mstep.eta_moments(data.D[b], res.eta)
+        beta_ss = beta_ss + res.beta_ss
+        sigma_ss = sigma_ss + res.sigma_ss
+        bound = bound + res.bound
+        Dt_eta = mom.Dt_eta if Dt_eta is None else Dt_eta + mom.Dt_eta
+        eta_sum = eta_sum + mom.eta_sum
+        etas.append(res.eta)
+        thetas.append(res.theta)
+        iters.append(res.newton_iters)
+
     stats = GlobalStats(
-        beta_ss=res.beta_ss,
-        sigma_ss=res.sigma_ss,
-        bound=res.bound,
-        Dt_eta=mom.Dt_eta,
-        eta_sum=mom.eta_sum,
+        beta_ss=beta_ss,
+        sigma_ss=sigma_ss,
+        bound=bound,
+        Dt_eta=Dt_eta,
+        eta_sum=eta_sum,
     )
-    return stats, res.eta, res.theta, res.newton_iters
+    return (
+        stats,
+        jnp.concatenate(etas, axis=0),
+        jnp.concatenate(thetas, axis=0),
+        jnp.concatenate(iters, axis=0),
+    )
 
 
 def em_iteration(
@@ -88,6 +150,7 @@ def em_iteration(
     wcounts,
     cfg: STMConfig,
     psum,
+    bucket_batches: Optional[Tuple[int, ...]] = None,
 ):
     """One full EM iteration; ``psum`` reduces per-shard statistics
     (identity on a single device, ``lax.psum`` under shard_map).
@@ -98,7 +161,7 @@ def em_iteration(
     and psummed; everything else in the M-step is replicated compute on
     already-psummed stats.
     """
-    stats, eta, theta, _iters = local_estep_stats(state, data, cfg)
+    stats, eta, theta, _iters = local_estep_stats(state, data, cfg, bucket_batches)
     stats = GlobalStats(*psum(tuple(stats)))
 
     mom = mstep.EtaMoments(Dt_eta=stats.Dt_eta, eta_sum=stats.eta_sum)
@@ -110,7 +173,13 @@ def em_iteration(
         ridge_alpha=cfg.ridge_alpha,
         lasso_alpha=cfg.lasso_alpha,
     )
-    mu = mstep.compute_mu(data.D, gamma, mu_mean, data.doc_ok, cfg.model_type)
+    mu = jnp.concatenate(
+        [
+            mstep.compute_mu(D_b, gamma, mu_mean, ok_b, cfg.model_type)
+            for D_b, ok_b in zip(data.D, data.doc_ok)
+        ],
+        axis=0,
+    )
 
     resid = psum(mstep.residual_moment(eta, mu))
     sigma = mstep.update_sigma(resid, stats.sigma_ss, design.n_docs, cfg.sigma_prior)
@@ -145,13 +214,15 @@ def make_em_step(
     design: mstep.PrevalenceDesign,
     kappa_design,
     wcounts,
+    bucket_batches: Optional[Tuple[int, ...]] = None,
 ):
     """Build the single-device jitted EM step: state, data -> state."""
 
     @jax.jit
     def em_step(state: STMState, data: CorpusData) -> STMState:
         return em_iteration(
-            state, data, design, kappa_design, wcounts, cfg, psum=lambda x: x
+            state, data, design, kappa_design, wcounts, cfg,
+            psum=lambda x: x, bucket_batches=bucket_batches,
         )
 
     return em_step

@@ -109,33 +109,54 @@ class STM:
         self.K = config.K
         self.A = config.A
 
-        # pad documents to (devices * batch) granularity
-        n_dev = 1 if mesh is None else mesh.devices.size
-        per_dev = -(-corpus.N // n_dev)
-        B = min(config.batch_size, _round_up(per_dev, 8))
-        self.config = config = config.replace(batch_size=B)
-        N_pad = _round_up(per_dev, B) * n_dev
-        corpus = corpus.pad_docs_to(N_pad)
-        self._padded = corpus
-
-        # ----- covariates -----
-        self.X = np.asarray(X) if X is not None else None
-        X_pad = None
-        if self.X is not None:
-            Xa = self.X if self.X.ndim > 1 else self.X[:, None]
-            X_pad = np.zeros((N_pad, Xa.shape[1]), np.float64)
-            X_pad[: Xa.shape[0]] = Xa
-        self._D_np, self._design = mstep.make_prevalence_design(
-            X_pad, corpus.doc_ok, fit_intercept=config.fit_intercept
+        # ----- length bucketing + padding plan -----
+        from strutopy_tpu.corpus.bucketing import (
+            gather_per_bucket,
+            make_bucket_plan,
+            split_corpus_by_plan,
         )
 
-        aspects = np.zeros(N_pad, np.int32)
+        n_dev = 1 if mesh is None else mesh.devices.size
+        max_buckets = config.max_buckets if config.auto_bucket else 1
+        plan = make_bucket_plan(
+            corpus, config.batch_size, n_devices=n_dev, max_buckets=max_buckets
+        )
+        self._plan = plan
+        buckets = split_corpus_by_plan(corpus, plan)
+        N_pad = plan.n_storage
+        # user doc i lives at storage row plan.storage_index[i]
+        self._storage_index = plan.storage_index[: corpus.N]
+
+        # ----- covariates (user order -> per-bucket arrays) -----
+        self.X = np.asarray(X) if X is not None else None
+        X_user = None
+        if self.X is not None:
+            Xa = self.X if self.X.ndim > 1 else self.X[:, None]
+            X_user = np.zeros((corpus.N, Xa.shape[1]), np.float64)
+            X_user[: Xa.shape[0]] = Xa
+
+        aspects_user = np.zeros(corpus.N, np.int32)
         if config.content:
             if beta_index is None:
                 raise ValueError("content=True requires beta_index (per-doc aspect)")
             bi = np.asarray(beta_index).astype(np.int32).ravel()
-            aspects[: len(bi)] = bi
-        self.betaindex = aspects
+            aspects_user[: len(bi)] = bi
+        self.betaindex = aspects_user
+
+        doc_ok_storage = np.concatenate([b.doc_ok for b in buckets])
+        if X_user is not None:
+            X_buckets = gather_per_bucket(X_user, plan)
+            X_storage = np.concatenate(X_buckets, axis=0)
+        else:
+            X_storage = None
+        self._D_np, self._design = mstep.make_prevalence_design(
+            X_storage, doc_ok_storage, fit_intercept=config.fit_intercept
+        )
+        # per-bucket design rows (bucket-contiguous in storage order)
+        D_buckets = np.split(
+            self._D_np, np.cumsum([b.N for b in buckets])[:-1], axis=0
+        )
+        aspect_buckets = gather_per_bucket(aspects_user, plan)
 
         # the content model needs the covariate design; lda_beta=False
         # without content covariates is the A=1 SAGE topic model
@@ -173,11 +194,11 @@ class STM:
         )
 
         self._data = CorpusData(
-            words=jnp.asarray(corpus.words),
-            counts=jnp.asarray(corpus.counts),
-            aspects=jnp.asarray(aspects),
-            doc_ok=jnp.asarray(corpus.doc_ok),
-            D=jnp.asarray(self._D_np, jnp.float32),
+            words=tuple(jnp.asarray(b.words) for b in buckets),
+            counts=tuple(jnp.asarray(b.counts) for b in buckets),
+            aspects=tuple(jnp.asarray(a) for a in aspect_buckets),
+            doc_ok=tuple(jnp.asarray(b.doc_ok) for b in buckets),
+            D=tuple(jnp.asarray(d, jnp.float32) for d in D_buckets),
         )
 
         if mesh is not None:
@@ -190,11 +211,14 @@ class STM:
             self._data = shard_corpus(mesh, self._data)
             self._state = shard_state(mesh, self._state, config.content)
             self._em_step = make_sharded_em_step(
-                mesh, config, self._design, self._kappa_design, self._wcounts
+                mesh, config, self._design, self._kappa_design, self._wcounts,
+                n_buckets=plan.n_buckets,
+                bucket_batches=plan.batch_sizes,
             )
         else:
             self._em_step = make_em_step(
-                config, self._design, self._kappa_design, self._wcounts
+                config, self._design, self._kappa_design, self._wcounts,
+                bucket_batches=plan.batch_sizes,
             )
 
         self.last_bounds: list = []
@@ -305,15 +329,16 @@ class STM:
 
     @property
     def theta(self) -> np.ndarray:
-        return np.asarray(self._state.theta)[: self.N]
+        # state arrays are in (device-major, bucket-minor) storage order
+        return np.asarray(self._state.theta)[self._storage_index]
 
     @property
     def eta(self) -> np.ndarray:
-        return np.asarray(self._state.eta)[: self.N]
+        return np.asarray(self._state.eta)[self._storage_index]
 
     @property
     def mu(self) -> np.ndarray:
-        return np.asarray(self._state.mu)[: self.N]
+        return np.asarray(self._state.mu)[self._storage_index]
 
     @property
     def sigma(self) -> np.ndarray:

@@ -95,18 +95,19 @@ def _bmm_outer(Bm, mosaic_safe: bool):
     if not mosaic_safe:
         return jnp.einsum("bkl,bjl->bkj", Bm, Bm, preferred_element_type=jnp.float32)
 
-    B, K, _ = Bm.shape
-
-    def body(b, acc):
-        h = jax.lax.dot_general(
-            Bm[b], Bm[b],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return jax.lax.dynamic_update_slice(acc, h[None], (b, 0, 0))
-
-    acc0 = jnp.zeros((B, K, K), jnp.float32)
-    return jax.lax.fori_loop(0, B, body, acc0)
+    # Mosaic supports neither batched dot_general nor dynamic_slice on
+    # values: unroll over the (static) block with 2D dots
+    B = Bm.shape[0]
+    return jnp.stack(
+        [
+            jax.lax.dot_general(
+                Bm[b], Bm[b],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for b in range(B)
+        ]
+    )
 
 
 def _bmm_ls(e, beta_doc, mosaic_safe: bool):
@@ -114,19 +115,17 @@ def _bmm_ls(e, beta_doc, mosaic_safe: bool):
     if not mosaic_safe:
         return jnp.einsum("btk,bkl->btl", e, beta_doc)
 
-    B, T, _ = e.shape
-    L = beta_doc.shape[2]
-
-    def body(b, acc):
-        s = jax.lax.dot_general(
-            e[b], beta_doc[b],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return jax.lax.dynamic_update_slice(acc, s[None], (b, 0, 0))
-
-    acc0 = jnp.zeros((B, T, L), jnp.float32)
-    return jax.lax.fori_loop(0, B, body, acc0)
+    B = e.shape[0]
+    return jnp.stack(
+        [
+            jax.lax.dot_general(
+                e[b], beta_doc[b],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for b in range(B)
+        ]
+    )
 
 
 def _bmv(Hm, p, mosaic_safe: bool):
@@ -252,10 +251,12 @@ def _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg: NewtonConfig):
     B, K, _ = beta_doc.shape
     Nd = jnp.sum(counts, axis=1)
     cg_iters = min(cfg.cg_iters, K - 1)
-    # step ladder 1, 1/2, 1/4, ... built via 2D iota (Pallas-safe: TPU
-    # kernels reject 1D iota and captured host constants alike)
+    # step ladder 1, 1/2, 1/4, ... built via 2D *integer* iota
+    # (Pallas-safe: TPU kernels reject 1D iota, float iota, and
+    # captured host constants alike)
     ts = jnp.exp2(
-        -jax.lax.broadcasted_iota(eta0.dtype, (cfg.max_backtracks, 1), 0)
+        -jax.lax.broadcasted_iota(jnp.int32, (cfg.max_backtracks, 1), 0)
+        .astype(eta0.dtype)
     )[:, 0]
 
     def cond(st):

@@ -43,13 +43,14 @@ def _state_specs(content: bool):
     )
 
 
-def _data_specs():
+def _data_specs(n_buckets: int = 1):
+    per_bucket = tuple(P(DOC_AXIS) for _ in range(n_buckets))
     return CorpusData(
-        words=P(DOC_AXIS),
-        counts=P(DOC_AXIS),
-        aspects=P(DOC_AXIS),
-        doc_ok=P(DOC_AXIS),
-        D=P(DOC_AXIS),
+        words=per_bucket,
+        counts=per_bucket,
+        aspects=per_bucket,
+        doc_ok=per_bucket,
+        D=per_bucket,
     )
 
 
@@ -59,14 +60,20 @@ def make_sharded_em_step(
     design: mstep.PrevalenceDesign,
     kappa_design,
     wcounts,
+    n_buckets: int = 1,
+    bucket_batches=None,
 ):
     """Build the sharded EM step: (state, data) -> state.
 
     ``data`` and the per-document parts of ``state`` must be sharded
     over ``mesh`` along the document axis (see :func:`shard_corpus`).
+    With length buckets, every bucket's size is a multiple of the mesh
+    size, so each device's shard holds the same contiguous per-bucket
+    layout and the in-step bucket offsets (derived from local shapes)
+    line up with the state shards.
     """
     state_specs = _state_specs(cfg.content)
-    data_specs = _data_specs()
+    data_specs = _data_specs(n_buckets)
 
     def _em_local(state: STMState, data: CorpusData) -> STMState:
         return em_iteration(
@@ -77,6 +84,7 @@ def make_sharded_em_step(
             wcounts,
             cfg,
             psum=lambda x: jax.lax.psum(x, DOC_AXIS),
+            bucket_batches=bucket_batches,
         )
 
     sharded = jax.shard_map(
@@ -90,13 +98,18 @@ def make_sharded_em_step(
 
 
 def shard_corpus(mesh: Mesh, data: CorpusData) -> CorpusData:
-    """Place corpus arrays on the mesh, sharded along documents."""
-    specs = _data_specs()
+    """Place corpus arrays on the mesh, sharded along documents.
+
+    (PartitionSpec subclasses tuple, so generic tree mapping would
+    recurse into it — map fields explicitly.)"""
+    sharding = NamedSharding(mesh, P(DOC_AXIS))
+    put = lambda xs: tuple(jax.device_put(x, sharding) for x in xs)
     return CorpusData(
-        *(
-            jax.device_put(x, NamedSharding(mesh, s))
-            for x, s in zip(tuple(data), tuple(specs))
-        )
+        words=put(data.words),
+        counts=put(data.counts),
+        aspects=put(data.aspects),
+        doc_ok=put(data.doc_ok),
+        D=put(data.D),
     )
 
 
