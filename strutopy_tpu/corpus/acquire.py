@@ -12,7 +12,7 @@ optional label columns) enters the same downstream pipeline
 from __future__ import annotations
 
 import csv
-from typing import Optional, Sequence
+from typing import Sequence
 
 from strutopy_tpu.corpus.preprocess import build_corpus
 

@@ -17,7 +17,7 @@ from typing import Optional
 
 import numpy as np
 
-from strutopy_tpu.corpus.bow import PaddedCorpus, pad_corpus
+from strutopy_tpu.corpus.bow import PaddedCorpus
 
 
 def read_mm(path: str) -> list:

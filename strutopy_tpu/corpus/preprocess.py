@@ -13,7 +13,7 @@ from __future__ import annotations
 import re
 import string
 from collections import Counter
-from typing import Iterable, Optional, Sequence
+from typing import Iterable, Optional
 
 from strutopy_tpu.corpus.bow import Vocabulary
 

@@ -14,7 +14,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from strutopy_tpu.corpus.bow import PaddedCorpus, create_dtm
+from strutopy_tpu.corpus.bow import create_dtm
 
 
 def ecdf(arr: np.ndarray) -> np.ndarray:

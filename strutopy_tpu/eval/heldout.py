@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from strutopy_tpu.corpus.bow import PaddedCorpus, pad_corpus, to_bow
+from strutopy_tpu.corpus.bow import PaddedCorpus, to_bow
 
 
 def eval_heldout(heldout, theta, beta) -> float:

@@ -19,7 +19,6 @@ mesh, making the same code correct in both contexts.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax

@@ -13,7 +13,7 @@ import logging
 import os
 import pickle
 import time
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ import numpy as np
 from strutopy_tpu.corpus.bow import PaddedCorpus, Vocabulary, pad_corpus
 from strutopy_tpu.models.config import STMConfig
 from strutopy_tpu.models.em import CorpusData, make_em_step
-from strutopy_tpu.models.state import STMState, init_state
+from strutopy_tpu.models.state import init_state
 from strutopy_tpu.ops import mstep
 from strutopy_tpu.ops.spectral import spectral_init
 from strutopy_tpu.eval import diagnostics

@@ -10,7 +10,7 @@ numpy construction feeding the on-device regression.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -16,10 +16,7 @@ to float32 tolerance (SURVEY.md §4).
 
 from __future__ import annotations
 
-import functools
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from strutopy_tpu.models.config import STMConfig
