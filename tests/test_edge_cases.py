@@ -1,0 +1,73 @@
+"""Edge-case hardening: tiny/degenerate corpora, K=2, empty docs."""
+
+import numpy as np
+import pytest
+
+from strutopy_tpu.models.stm import STM
+from strutopy_tpu.corpus.bow import pad_corpus
+
+
+def test_k2_minimum_topics():
+    docs = [[(i % 7, 1), ((i + 3) % 7, 2)] for i in range(20)]
+    m = STM(documents=docs, K=2, max_em_iter=2, init_type="random",
+            model_type="CTM")
+    m.expectation_maximization(saving=False)
+    assert m.sigma.shape == (1, 1)
+    assert np.isfinite(m.last_bounds).all()
+    np.testing.assert_allclose(m.theta.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_corpus_with_empty_documents():
+    docs = [[(0, 2), (1, 1)], [], [(2, 3)], [], [(1, 1), (3, 2)]]
+    m = STM(documents=docs, K=3, max_em_iter=2, init_type="random",
+            model_type="CTM")
+    m.expectation_maximization(saving=False)
+    assert np.isfinite(m.last_bounds).all()
+    # empty docs keep prior-uniform theta rows and contribute nothing
+    assert m.theta.shape[0] == 5
+
+
+def test_single_word_documents():
+    docs = [[(i % 5, 1)] for i in range(16)]
+    m = STM(documents=docs, K=3, max_em_iter=2, init_type="random",
+            model_type="CTM")
+    m.expectation_maximization(saving=False)
+    assert np.isfinite(m.last_bounds).all()
+
+
+def test_tiny_corpus_fewer_docs_than_batch():
+    docs = [[(0, 1), (1, 2)], [(2, 1)], [(1, 1), (3, 1)]]
+    m = STM(documents=docs, K=2, max_em_iter=1, init_type="random",
+            model_type="CTM", batch_size=4096)
+    m.expectation_maximization(saving=False)
+    assert np.isfinite(m.last_bounds).all()
+
+
+def test_heavily_repeated_counts():
+    docs = [[(0, 10_000), (1, 1)], [(1, 5_000), (2, 2)]]
+    m = STM(documents=docs, K=2, max_em_iter=2, init_type="random",
+            model_type="CTM")
+    m.expectation_maximization(saving=False)
+    assert np.isfinite(m.last_bounds).all()
+
+
+def test_config_json_roundtrip():
+    from strutopy_tpu.models.config import STMConfig
+
+    cfg = STMConfig(K=7, mode="ridge", content=True, A=3,
+                    kappa_interactions=True, lda_beta=False)
+    cfg2 = STMConfig.from_json(cfg.to_json())
+    assert cfg == cfg2
+
+
+def test_spectral_with_duplicate_heavy_vocab():
+    # spectral init on a corpus whose vocab is tiny relative to maxV
+    rng = np.random.default_rng(0)
+    docs = []
+    for _ in range(40):
+        ids = rng.choice(12, size=6, replace=False)
+        docs.append([(int(w), int(rng.integers(1, 3))) for w in sorted(ids)])
+    m = STM(documents=docs, K=3, max_em_iter=1, init_type="spectral",
+            model_type="CTM")
+    m.expectation_maximization(saving=False)
+    assert np.isfinite(m.last_bounds).all()
