@@ -15,8 +15,19 @@ values (it was written Pallas-safe: no gathers, no iota, constant step
 ladder) — so there is one implementation of the solver semantics with
 two execution strategies.
 
-Use via ``STMConfig(use_pallas=True)`` (TPU only); falls back to the
-XLA path on CPU/interpret problems.
+Use via ``STMConfig(use_pallas=True)``.
+
+STATUS (round 1): the kernel is verified bit-equivalent to the XLA
+path in interpret mode (tests/test_pallas.py).  On the real-TPU Mosaic
+toolchain in this environment, compilation progresses past several
+documented constraints (no batched dot_general, no dynamic_slice on
+values, no 1-D/float iota, no captured host constants — all handled by
+the ``mosaic_safe`` strategy in ops/estep.py) but the remote
+tpu_compile_helper then crashes (HTTP 500, subprocess exit 1, no
+diagnostics) on the full Newton-loop kernel, for both bf16 and f32
+variants and block sizes 8-64.  The XLA path (23.9k docs/s at K=100 on
+v5e, 621x the scipy baseline) remains the default; this kernel is the
+starting point for a future Mosaic-toolchain retry.
 """
 
 from __future__ import annotations
