@@ -73,6 +73,10 @@ def main(argv=None):
     p.add_argument("--mode", choices=["ols", "ridge", "lasso"], default="ols")
     p.add_argument("--max-em-iter", type=int, default=25)
     p.add_argument("--out", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="resumable EM checkpoint path (.npz)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists")
     _add_mesh_arg(p)
 
     p = sub.add_parser("train-eval", help="document-completion heldout (ref: 05_train)")
@@ -135,6 +139,8 @@ def main(argv=None):
             model_type=args.model,
             mode=args.mode,
             mesh=_mesh_from_args(args),
+            checkpoint_path=args.checkpoint,
+            resume=args.resume,
         )
         print(f"final bound: {model.last_bounds[-1]:.2f}; artifacts in {args.out}")
 

@@ -38,6 +38,8 @@ def fit_model(
     model_type: str = "STM",
     mode: str = "ols",
     mesh=None,
+    checkpoint_path: Optional[str] = None,
+    resume: bool = False,
     **kwargs,
 ) -> STM:
     """Fit one STM and optionally save the reference artifact set
@@ -56,7 +58,12 @@ def fit_model(
         mesh=mesh,
         **kwargs,
     )
-    model.expectation_maximization(saving=output_dir is not None, output_dir=output_dir)
+    model.expectation_maximization(
+        saving=output_dir is not None,
+        output_dir=output_dir,
+        checkpoint_path=checkpoint_path,
+        resume=resume,
+    )
     if output_dir is not None:
         config = {
             "num_topics": K,
