@@ -92,14 +92,22 @@ def make_bucket_plan(
     lane: int = LANE,
     max_buckets: int = 4,
 ) -> BucketPlan:
-    lens = np.maximum((corpus.counts > 0).sum(axis=1), 1)
+    # bucket by the LAST nonzero column + 1 (not the nonzero count), so
+    # trimming a bucket to its L is safe even for user-built
+    # PaddedCorpus rows that are not front-packed
+    L = corpus.L
+    col = np.arange(L)[None, :]
+    last_nz = np.max(np.where(corpus.counts > 0, col + 1, 0), axis=1)
+    lens = np.maximum(last_nz, 1)
+    # empty (doc_ok=False) docs ride along in bucket 0 so every user doc
+    # owns a storage row (their zero counts contribute nothing)
     bounds = plan_bounds(lens[corpus.doc_ok] if corpus.doc_ok.any() else lens,
                          lane=lane, max_buckets=max_buckets)
 
     Ls, doc_ids, sizes, batches = [], [], [], []
     lo = 0
     for b in bounds:
-        ids = np.nonzero((lens > lo) & (lens <= b) & corpus.doc_ok)[0]
+        ids = np.nonzero((lens > lo) & (lens <= b))[0]
         lo = b
         if len(ids) == 0:
             continue

@@ -41,7 +41,12 @@ def read_mm(path: str) -> list:
                 continue
             i, j, v = line.split()
             d = int(i) - 1
-            docs.setdefault(d, []).append((int(j) - 1, int(float(v))))
+            val = float(v)
+            # keep integral counts as ints (BoW convention) but do not
+            # truncate genuine fractional weights
+            docs.setdefault(d, []).append(
+                (int(j) - 1, int(val) if val.is_integer() else val)
+            )
     return [sorted(docs.get(d, [])) for d in range(n_docs)]
 
 

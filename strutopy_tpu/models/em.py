@@ -192,8 +192,6 @@ def em_iteration(
             wcounts,
             kappa_design,
             alpha=cfg.kappa_l2,
-            A=cfg.A,
-            interactions=True,
             iters=cfg.kappa_newton_iters,
         )
     return STMState(

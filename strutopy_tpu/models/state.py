@@ -46,6 +46,7 @@ def init_state(
     A: int = 1,
     content: bool = False,
     beta_init: Optional[jax.Array] = None,
+    kappa_p: Optional[int] = None,
     dtype=jnp.float32,
 ) -> STMState:
     """Initialize model state.
@@ -65,7 +66,10 @@ def init_state(
         beta = jnp.broadcast_to(beta[None], (A, K, V))
     beta = beta.astype(dtype)
 
-    kappa_p = K + A + A * K if content else 0
+    if kappa_p is None:
+        # default matches build_kappa_design with interactions on; pass
+        # the actual design width to keep state shapes iteration-stable
+        kappa_p = K + A + A * K if content else 0
     return STMState(
         beta=beta,
         mu=jnp.zeros((N, K - 1), dtype),

@@ -30,10 +30,6 @@ from strutopy_tpu.eval import diagnostics
 logger = logging.getLogger(__name__)
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 class STM:
     """Structural Topic Model, TPU-native.
 
@@ -116,6 +112,10 @@ class STM:
             split_corpus_by_plan,
         )
 
+        if corpus.n_docs == 0:
+            raise ValueError(
+                "corpus contains no non-empty documents; nothing to fit"
+            )
         n_dev = 1 if mesh is None else mesh.devices.size
         max_buckets = config.max_buckets if config.auto_bucket else 1
         plan = make_bucket_plan(
@@ -191,6 +191,13 @@ class STM:
             A=config.A,
             content=config.content,
             beta_init=jnp.asarray(beta_init),
+            # keep kappa's shape identical across EM iterations (no
+            # retraces): it must match the actual design width
+            kappa_p=(
+                self._kappa_design.shape[1]
+                if (self._kappa_design is not None and not config.lda_beta)
+                else 0
+            ),
         )
 
         self._data = CorpusData(

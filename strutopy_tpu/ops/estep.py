@@ -45,7 +45,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from strutopy_tpu.ops.linalg import cho_inverse
 
@@ -480,9 +479,14 @@ def run_estep(
         if use_pallas:
             from strutopy_tpu.ops.pallas_estep import pallas_newton_impl
 
+            # block must divide the chunk size (bucket batches are
+            # rounded to multiples of 8, not necessarily of the block)
+            pb = min(pallas_block, B)
+            while B % pb:
+                pb //= 2
             eta, iters = pallas_newton_impl(
                 beta_doc, c, mu_c, eta_c, siginv, cfg=cfg,
-                block_docs=pallas_block,
+                block_docs=max(pb, 1),
             )
         else:
             eta, iters = _batched_newton(beta_doc, c, mu_c, eta_c, siginv, cfg)

@@ -303,14 +303,12 @@ def _poisson_newton_word(y, m_v, Xd, offset, alpha, n, iters, lp_clip=30.0):
     return w
 
 
-@functools.partial(jax.jit, static_argnames=("A", "interactions", "iters"))
+@functools.partial(jax.jit, static_argnames=("iters",))
 def update_beta_content(
     beta_ss,  # (A, K, V) or (K, V)
     wcounts,  # (V,) corpus-wide word counts
-    kappa_design,  # ((A*K), P) from build_kappa_design
+    kappa_design,  # ((A*K), P) from build_kappa_design (encodes A/interactions)
     alpha: float = 250.0,
-    A: int = 2,
-    interactions: bool = True,
     iters: int = 40,
 ):
     """Content model: V parallel Poisson regressions -> (beta, kappa).

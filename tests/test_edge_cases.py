@@ -71,3 +71,42 @@ def test_spectral_with_duplicate_heavy_vocab():
             model_type="CTM")
     m.expectation_maximization(saving=False)
     assert np.isfinite(m.last_bounds).all()
+
+
+def test_empty_docs_get_their_own_state_rows():
+    """Regression: empty docs must not alias another document's
+    posterior (they get prior-uniform theta, not doc 0's)."""
+    docs = [[(0, 5), (1, 1)], [], [(2, 3), (3, 4)]]
+    m = STM(documents=docs, K=3, max_em_iter=2, init_type="random",
+            model_type="CTM")
+    m.expectation_maximization(saving=False)
+    theta = m.theta
+    assert not np.allclose(theta[1], theta[0])
+    assert not np.allclose(theta[1], theta[2])
+    # empty doc: eta stays at its (zero) start -> near-uniform theta
+    np.testing.assert_allclose(theta[1], 1.0 / 3, atol=0.05)
+
+
+def test_non_front_packed_padded_corpus_keeps_tokens():
+    """Regression: bucketing must not drop tokens of user-built
+    PaddedCorpus rows whose nonzeros are not front-packed."""
+    L = 256
+    words = np.zeros((3, L), np.int32)
+    counts = np.zeros((3, L), np.float32)
+    # doc 0: tokens at the very end of the padded row
+    words[0, 250:255] = np.arange(5)
+    counts[0, 250:255] = 2.0
+    words[1, :3] = [5, 6, 7]
+    counts[1, :3] = 1.0
+    words[2, :2] = [1, 2]
+    counts[2, :2] = 3.0
+    from strutopy_tpu.corpus.bow import PaddedCorpus
+    from strutopy_tpu.corpus.bucketing import make_bucket_plan, split_corpus_by_plan
+
+    pc = PaddedCorpus(words=words, counts=counts,
+                      doc_ok=np.ones(3, bool), V=10)
+    plan = make_bucket_plan(pc, batch_size=8)
+    buckets = split_corpus_by_plan(pc, plan)
+    total_in = counts.sum()
+    total_out = sum(b.counts.sum() for b in buckets)
+    assert total_in == total_out

@@ -162,8 +162,7 @@ def test_update_beta_content_shapes_and_simplex():
     wcounts = jnp.asarray(rng.integers(1, 100, V), jnp.float32)
     Xd = mstep.build_kappa_design(K, A, True)
     beta, kappa = mstep.update_beta_content(
-        beta_ss, wcounts, jnp.asarray(Xd, jnp.float32), alpha=250.0, A=A,
-        interactions=True, iters=30,
+        beta_ss, wcounts, jnp.asarray(Xd, jnp.float32), alpha=250.0, iters=30,
     )
     assert beta.shape == (A, K, V)
     assert kappa.shape == (Xd.shape[1], V)
