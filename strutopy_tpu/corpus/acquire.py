@@ -27,6 +27,26 @@ def load_texts_csv(path: str, text_column: str = "text", label_columns: Sequence
     return texts, labels
 
 
+def load_texts_json(path: str, text_field: str = "text", label_fields: Sequence[str] = ()):
+    """Load (texts, labels) from JSON: a list of objects, or JSON-lines.
+
+    Covers the README-promised "Text Reading for various filetypes
+    (*.csv, *.json)".
+    """
+    import json
+
+    with open(path) as f:
+        head = f.read(1)
+        f.seek(0)
+        if head == "[":
+            records = json.load(f)
+        else:  # JSON lines
+            records = [json.loads(line) for line in f if line.strip()]
+    texts = [r[text_field] for r in records]
+    labels = [{c: r.get(c) for c in label_fields} for r in records]
+    return texts, labels
+
+
 def corpus_from_csv(
     path: str,
     text_column: str = "text",

@@ -61,13 +61,30 @@ def build_corpus(
     stopwords: Optional[frozenset] = DEFAULT_STOPWORDS,
     min_doc_freq: int = 1,
     max_doc_frac: float = 1.0,
+    stem: bool = False,
+    ngrams: bool = False,
+    ngram_min_count: int = 5,
+    ngram_threshold: float = 10.0,
 ):
     """Tokenize texts -> (bow_corpus, Vocabulary).
 
     BoW output uses the reference's list-of-(idx, count) convention.
-    ``min_doc_freq`` / ``max_doc_frac`` filter rare/ubiquitous terms.
+    ``min_doc_freq`` / ``max_doc_frac`` filter rare/ubiquitous terms;
+    ``stem`` applies the Porter stemmer and ``ngrams`` merges learned
+    bigram collocations (both README-promised preprocessing stages the
+    reference never implemented).
     """
     token_docs = [tokenize(t, stopwords) for t in texts]
+    if ngrams:
+        from strutopy_tpu.corpus.ngrams import ngram_docs
+
+        token_docs, _ = ngram_docs(
+            token_docs, min_count=ngram_min_count, threshold=ngram_threshold
+        )
+    if stem:
+        from strutopy_tpu.corpus.stem import stem_tokens
+
+        token_docs = [stem_tokens(t) for t in token_docs]
     doc_freq: Counter = Counter()
     for toks in token_docs:
         doc_freq.update(set(toks))

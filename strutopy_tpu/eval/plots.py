@@ -56,6 +56,93 @@ def plot_convergence(bounds: Sequence[float], path: Optional[str] = None):
     return fig
 
 
+def plot_topic_words(
+    beta: np.ndarray, vocab, topics: Optional[Sequence[int]] = None,
+    n: int = 12, path: Optional[str] = None,
+):
+    """Per-topic top-word bar charts — the dependency-free stand-in for
+    the reference's wordclouds (06_example_application.py:361-411;
+    the wordcloud package is not available here)."""
+    plt = _plt()
+    beta = np.asarray(beta, np.float64)
+    if beta.ndim == 3:
+        beta = beta.mean(axis=0)
+    K = beta.shape[0]
+    topics = list(range(K)) if topics is None else list(topics)
+    cols = min(len(topics), 4)
+    rows = -(-len(topics) // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(4 * cols, 2.6 * rows),
+                             squeeze=False)
+    for ax in axes.flat:
+        ax.set_axis_off()
+    for i, k in enumerate(topics):
+        ax = axes[i // cols][i % cols]
+        ax.set_axis_on()
+        top = np.argsort(-beta[k])[:n][::-1]
+        ax.barh(range(n), beta[k, top])
+        ax.set_yticks(range(n))
+        ax.set_yticklabels([vocab[j] for j in top], fontsize=7)
+        ax.set_title(f"Topic {k}", fontsize=9)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+    return fig
+
+
+def plot_word_frequencies(documents, vocab, n: int = 30, path: Optional[str] = None):
+    """Corpus-level top word frequencies (README §5 'word frequencies')."""
+    from strutopy_tpu.corpus.bow import PaddedCorpus, pad_corpus
+
+    plt = _plt()
+    corpus = documents if isinstance(documents, PaddedCorpus) else pad_corpus(
+        documents, V=len(vocab)
+    )
+    counts = corpus.word_counts()
+    top = np.argsort(-counts)[:n][::-1]
+    fig, ax = plt.subplots(figsize=(6, 0.25 * n + 1))
+    ax.barh(range(n), counts[top])
+    ax.set_yticks(range(n))
+    ax.set_yticklabels([vocab[j] for j in top], fontsize=7)
+    ax.set_title(f"Top {n} word frequencies")
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+    return fig
+
+
+def plot_tsne_tfidf(
+    documents, labels=None, perplexity: float = 20.0,
+    path: Optional[str] = None, seed: int = 0,
+):
+    """tf-idf -> t-SNE corpus scatter (README §5).
+
+    Uses sklearn's TSNE on the tf-idf-weighted document-term matrix;
+    points optionally colored by a per-document label.
+    """
+    from sklearn.manifold import TSNE
+
+    from strutopy_tpu.corpus.bow import create_dtm
+
+    plt = _plt()
+    dtm = create_dtm(documents)
+    tf = dtm / np.maximum(dtm.sum(axis=1, keepdims=True), 1.0)
+    df = (dtm > 0).sum(axis=0)
+    idf = np.log(dtm.shape[0] / np.maximum(df, 1.0)) + 1.0
+    tfidf = tf * idf[None, :]
+    emb = TSNE(
+        n_components=2, perplexity=min(perplexity, max(2, dtm.shape[0] // 4)),
+        random_state=seed, init="random",
+    ).fit_transform(tfidf)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    c = None if labels is None else np.asarray(labels)
+    sc = ax.scatter(emb[:, 0], emb[:, 1], s=8, c=c, cmap="tab10", alpha=0.7)
+    if labels is not None:
+        fig.colorbar(sc, ax=ax, shrink=0.7)
+    ax.set_title("tf-idf t-SNE of documents")
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+    return fig
+
+
 def plot_heldout_by_k(results: Mapping, path: Optional[str] = None):
     """Heldout log-likelihood per K per model — the find-K selection
     plot (reference 06_example_application.py:198-224).  ``results``

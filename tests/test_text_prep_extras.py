@@ -1,0 +1,101 @@
+"""Stemming, n-grams, JSON reading, new plots, estimate_effect."""
+
+import json
+
+import numpy as np
+
+from strutopy_tpu.corpus.stem import porter_stem, stem_tokens
+from strutopy_tpu.corpus.ngrams import apply_bigrams, learn_bigrams, ngram_docs
+from strutopy_tpu.corpus.preprocess import build_corpus
+from strutopy_tpu.corpus.acquire import load_texts_json
+from strutopy_tpu.corpus.bow import Vocabulary
+from strutopy_tpu.eval.effects import estimate_effect, plot_effect
+from strutopy_tpu.eval import plots
+
+
+def test_porter_stemmer_classic_cases():
+    cases = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "agreed": "agre",
+        "plastered": "plaster", "motoring": "motor", "sing": "sing",
+        "conflated": "conflat", "troubling": "troubl", "sized": "size",
+        "hopping": "hop", "relational": "relat", "conditional": "condit",
+        "vietnamization": "vietnam", "predication": "predic",
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll",
+    }
+    for word, want in cases.items():
+        assert porter_stem(word) == want, (word, porter_stem(word), want)
+
+
+def test_bigram_learning_and_merge():
+    docs = [["new", "york", "city"]] * 20 + [["old", "york"]] * 2
+    merges = learn_bigrams(docs, min_count=5, threshold=1.0)
+    assert ("new", "york") in merges
+    merged = apply_bigrams(["new", "york", "is", "big"], merges)
+    assert merged[0] == "new_york"
+    out, m = ngram_docs(docs, min_count=5, threshold=1.0)
+    assert out[0][0] == "new_york"
+
+
+def test_build_corpus_with_stem_and_ngrams():
+    texts = ["the running dogs kept running fast"] * 6 + [
+        "machine learning models machine learning" for _ in range(6)
+    ]
+    bow, vocab = build_corpus(texts, stem=True, ngrams=True,
+                              ngram_min_count=3, ngram_threshold=1.0)
+    toks = set(vocab)
+    # bigram collocations detected and merged, then stemmed
+    assert "machine_learn" in toks
+    # plain tokens are stemmed ("learning" -> "learn")
+    assert "learn" in toks
+
+
+def test_load_texts_json(tmp_path):
+    recs = [{"text": "alpha beta", "y": 1}, {"text": "gamma", "y": 0}]
+    p1 = tmp_path / "a.json"
+    p1.write_text(json.dumps(recs))
+    texts, labels = load_texts_json(str(p1), label_fields=("y",))
+    assert texts == ["alpha beta", "gamma"]
+    assert labels[0]["y"] == 1
+    p2 = tmp_path / "b.jsonl"
+    p2.write_text("\n".join(json.dumps(r) for r in recs))
+    texts2, _ = load_texts_json(str(p2))
+    assert texts2 == texts
+
+
+def test_estimate_effect_recovers_planted_effect():
+    rng = np.random.default_rng(0)
+    N, K = 400, 3
+    x = rng.integers(0, 2, N).astype(float)
+    theta = np.zeros((N, K))
+    theta[:, 0] = 0.2 + 0.3 * x + 0.02 * rng.normal(size=N)
+    theta[:, 1] = 0.5 - 0.3 * x + 0.02 * rng.normal(size=N)
+    theta[:, 2] = 1.0 - theta[:, 0] - theta[:, 1]
+    eff = estimate_effect(theta, x)
+    np.testing.assert_allclose(eff["coef"][0, 1], 0.3, atol=0.02)
+    np.testing.assert_allclose(eff["coef"][1, 1], -0.3, atol=0.02)
+    # CI excludes zero for planted effects
+    assert eff["ci"][0, 1, 0] > 0
+    assert eff["ci"][1, 1, 1] < 0
+
+
+def test_new_plots_render(tmp_path):
+    rng = np.random.default_rng(1)
+    beta = rng.dirichlet(np.ones(30), size=4)
+    vocab = Vocabulary([f"w{i}" for i in range(30)])
+    docs = []
+    for _ in range(25):
+        ids = rng.choice(30, size=8, replace=False)
+        docs.append([(int(w), 1) for w in sorted(ids)])
+
+    plots.plot_topic_words(beta, vocab, n=6, path=str(tmp_path / "tw.png"))
+    plots.plot_word_frequencies(docs, vocab, n=10, path=str(tmp_path / "wf.png"))
+    plots.plot_tsne_tfidf(docs, labels=rng.integers(0, 2, 25),
+                          path=str(tmp_path / "ts.png"))
+    eff = estimate_effect(rng.dirichlet(np.ones(3), 25), rng.integers(0, 2, 25))
+    plot_effect(eff, path=str(tmp_path / "ef.png"))
+    for f in ("tw.png", "wf.png", "ts.png", "ef.png"):
+        assert (tmp_path / f).stat().st_size > 0
