@@ -52,7 +52,6 @@ class STMConfig:
     newton_bf16_hessian: bool = True  # bf16 MXU matmul for the in-loop Hessian
     # execution
     batch_size: int = 256  # docs per E-step scan chunk (per device; smaller chunks reduce Newton convergence coupling — B=128-256 measured fastest at K=100)
-    dtype: str = "float32"
     use_pallas: bool = False  # fused Pallas E-step kernel (TPU only)
     debug_checks: bool = False  # host-side numerical sanitizers per EM iter
     # length bucketing: run the E-step per document-length class at its
