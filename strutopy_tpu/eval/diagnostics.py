@@ -127,15 +127,40 @@ def semantic_coherence(beta: np.ndarray, documents, M: int = 10) -> np.ndarray:
     C_k = sum_{i<j over the top-M words} log((D(v_i, v_j) + 1) / D(v_j))
     where D counts documents containing the word(s).  Promised by the
     reference README but never implemented there.
+
+    Memory-bounded: only the (at most K*M) top-word columns of the
+    binary document-term matrix are materialized, so this scales to
+    pod-size corpora (a full dense DTM at N=100k, V=50k would be 40 GB).
     """
     beta = np.asarray(beta, np.float64)
     K, V = beta.shape
-    dtm = create_dtm(documents, V=V) if not isinstance(documents, np.ndarray) else documents
-    binary = (dtm > 0).astype(np.float64)
     top = np.argsort(-beta, axis=1)[:, :M]
+
+    if isinstance(documents, np.ndarray):  # pre-built (dense) DTM
+        binary_all = documents > 0
+        cols_of = lambda ids: binary_all[:, ids].astype(np.float64)
+    else:
+        from strutopy_tpu.corpus.bow import PaddedCorpus, pad_corpus
+
+        corpus = documents if isinstance(documents, PaddedCorpus) else pad_corpus(
+            documents, V=V
+        )
+        need = np.unique(top)
+        col_pos = np.full(V, -1, np.int64)
+        col_pos[need] = np.arange(len(need))
+        D = corpus.N
+        binary = np.zeros((D, len(need)), np.float64)
+        w = corpus.words
+        c = corpus.counts
+        pos = col_pos[w]
+        mask = (c > 0) & (pos >= 0)
+        rows = np.broadcast_to(np.arange(D)[:, None], w.shape)[mask]
+        binary[rows, pos[mask]] = 1.0
+        cols_of = lambda ids: binary[:, col_pos[ids]]
+
     scores = np.zeros(K)
     for k in range(K):
-        cols = binary[:, top[k]]  # (D, M)
+        cols = cols_of(top[k])  # (D, M)
         co = cols.T @ cols  # (M, M) co-document counts
         doc_freq = np.diag(co)
         s = 0.0
