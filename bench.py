@@ -140,4 +140,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as e:
+        # the TPU plugin's registration fails transiently when another
+        # jax process is handshaking the device tunnel; backend state is
+        # cached per-process, so retry in a fresh subprocess once
+        if "backend" not in str(e).lower() or os.environ.get("STM_BENCH_RETRY"):
+            raise
+        import subprocess
+
+        time.sleep(20)
+        env = dict(os.environ, STM_BENCH_RETRY="1")
+        raise SystemExit(
+            subprocess.call([sys.executable, os.path.abspath(__file__)], env=env)
+        )
