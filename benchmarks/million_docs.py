@@ -7,6 +7,12 @@ scale (the document-sharded EM's per-chip work is independent of the
 mesh size; cross-chip cost is three psums of ~25 MB/iter over ICI).
 Corpus = the 100k-doc scaled-synthetic corpus tiled 10x (throughput is
 data-independent).  Writes benchmarks/results_million.json.
+
+CAVEAT (this environment): the axon TPU tunnel's worker crashed on the
+full 1M-doc transfer (~2 GB host->device in one put); 400k docs ran
+fine (benchmarks/results_400k.json).  On directly-attached chips, or
+with per-shard transfers on a real v5e-64 mesh (each chip receives
+1/64th), the full configuration is within memory budgets.
 """
 
 import json
