@@ -143,9 +143,10 @@ if __name__ == "__main__":
     try:
         main()
     except RuntimeError as e:
-        # the TPU plugin's registration fails transiently when another
-        # jax process is handshaking the device tunnel; backend state is
-        # cached per-process, so retry in a fresh subprocess once
+        # TPU plugin registration can fail if PYTHONPATH was overridden
+        # without /root/.axon_site (its sitecustomize registers the
+        # plugin) or on tunnel hiccups; backend state is cached
+        # per-process, so retry once in a fresh subprocess
         if "backend" not in str(e).lower() or os.environ.get("STM_BENCH_RETRY"):
             raise
         import subprocess
