@@ -26,7 +26,11 @@ import numpy as np
 
 N_BASE, TILE, K, V, N_WORDS = 100_000, 10, 100, 50_000, 300
 ITERS = 3
-HERE = "benchmarks"
+if "__file__" in globals() and "<" not in str(__file__):
+    HERE = os.path.dirname(os.path.abspath(__file__))
+else:  # run via stdin
+    HERE = os.path.join(os.getcwd(), "benchmarks")
+os.makedirs(HERE, exist_ok=True)
 OUT = os.path.join(HERE, "results_million.json")
 
 

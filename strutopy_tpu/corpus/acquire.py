@@ -36,7 +36,15 @@ def load_texts_json(path: str, text_field: str = "text", label_fields: Sequence[
     import json
 
     with open(path) as f:
-        head = f.read(1)
+        # skip leading whitespace/BOM before dispatching array vs lines
+        head = ""
+        while True:
+            ch = f.read(1)
+            if not ch:
+                break
+            if not ch.isspace() and ch != "﻿":
+                head = ch
+                break
         f.seek(0)
         if head == "[":
             records = json.load(f)

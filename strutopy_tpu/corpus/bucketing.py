@@ -94,13 +94,13 @@ def make_bucket_plan(
 ) -> BucketPlan:
     # bucket by the LAST nonzero column + 1 (not the nonzero count), so
     # trimming a bucket to its L is safe even for user-built
-    # PaddedCorpus rows that are not front-packed
+    # PaddedCorpus rows that are not front-packed.  doc_ok=False rows
+    # count as empty (their counts are zeroed in split_corpus_by_plan),
+    # so every user doc lands in bucket 0 and owns a storage row.
     L = corpus.L
-    col = np.arange(L)[None, :]
-    last_nz = np.max(np.where(corpus.counts > 0, col + 1, 0), axis=1)
+    nz = (corpus.counts > 0) & corpus.doc_ok[:, None]
+    last_nz = np.where(nz.any(axis=1), L - np.argmax(nz[:, ::-1], axis=1), 0)
     lens = np.maximum(last_nz, 1)
-    # empty (doc_ok=False) docs ride along in bucket 0 so every user doc
-    # owns a storage row (their zero counts contribute nothing)
     bounds = plan_bounds(lens[corpus.doc_ok] if corpus.doc_ok.any() else lens,
                          lane=lane, max_buckets=max_buckets)
 
@@ -143,13 +143,21 @@ def make_bucket_plan(
 
 def split_corpus_by_plan(corpus: PaddedCorpus, plan: BucketPlan) -> List[PaddedCorpus]:
     """Per-bucket PaddedCorpus, trimmed to the bucket's L and padded to
-    the planned size with dummy docs."""
+    the planned size with dummy docs.
+
+    doc_ok=False rows get their counts zeroed: masked documents must
+    behave exactly like padding (eta frozen at 0, no contribution to
+    any statistic) even if a user-built PaddedCorpus left counts in
+    masked rows.
+    """
     out = []
     for ids, L, size in zip(plan.doc_ids, plan.Ls, plan.sizes):
+        ok = corpus.doc_ok[ids]
         sub = PaddedCorpus(
             words=np.ascontiguousarray(corpus.words[ids][:, :L]),
-            counts=np.ascontiguousarray(corpus.counts[ids][:, :L]),
-            doc_ok=corpus.doc_ok[ids],
+            counts=np.ascontiguousarray(corpus.counts[ids][:, :L])
+            * ok[:, None].astype(corpus.counts.dtype),
+            doc_ok=ok,
             V=corpus.V,
         ).pad_docs_to(size)
         out.append(sub)

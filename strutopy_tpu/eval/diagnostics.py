@@ -136,32 +136,42 @@ def semantic_coherence(beta: np.ndarray, documents, M: int = 10) -> np.ndarray:
     K, V = beta.shape
     top = np.argsort(-beta, axis=1)[:, :M]
 
+    need = np.unique(top)
+    U = len(need)
+    col_pos = np.full(V, -1, np.int32)
+    col_pos[need] = np.arange(U, dtype=np.int32)
+
+    # accumulate the (U, U) co-document matrix over document chunks so
+    # host memory stays O(chunk * U), not O(N * U)
+    co_full = np.zeros((U, U), np.float64)
     if isinstance(documents, np.ndarray):  # pre-built (dense) DTM
-        binary_all = documents > 0
-        cols_of = lambda ids: binary_all[:, ids].astype(np.float64)
+        D = documents.shape[0]
+        for s in range(0, D, 65536):
+            cols = (documents[s : s + 65536][:, need] > 0).astype(np.float32)
+            co_full += (cols.T @ cols).astype(np.float64)
     else:
         from strutopy_tpu.corpus.bow import PaddedCorpus, pad_corpus
 
         corpus = documents if isinstance(documents, PaddedCorpus) else pad_corpus(
             documents, V=V
         )
-        need = np.unique(top)
-        col_pos = np.full(V, -1, np.int64)
-        col_pos[need] = np.arange(len(need))
         D = corpus.N
-        binary = np.zeros((D, len(need)), np.float64)
-        w = corpus.words
-        c = corpus.counts
-        pos = col_pos[w]
-        mask = (c > 0) & (pos >= 0)
-        rows = np.broadcast_to(np.arange(D)[:, None], w.shape)[mask]
-        binary[rows, pos[mask]] = 1.0
-        cols_of = lambda ids: binary[:, col_pos[ids]]
+        B = 65536
+        for s in range(0, D, B):
+            w = corpus.words[s : s + B]
+            c = corpus.counts[s : s + B]
+            pos = col_pos[w]
+            mask = (c > 0) & (pos >= 0)
+            nb = w.shape[0]
+            cols = np.zeros((nb, U), np.float32)
+            rows = np.broadcast_to(np.arange(nb)[:, None], w.shape)[mask]
+            cols[rows, pos[mask]] = 1.0
+            co_full += (cols.T @ cols).astype(np.float64)
 
     scores = np.zeros(K)
     for k in range(K):
-        cols = cols_of(top[k])  # (D, M)
-        co = cols.T @ cols  # (M, M) co-document counts
+        ix = col_pos[top[k]]
+        co = co_full[np.ix_(ix, ix)]  # (M, M) co-document counts
         doc_freq = np.diag(co)
         s = 0.0
         for i in range(1, M):

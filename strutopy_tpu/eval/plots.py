@@ -68,6 +68,7 @@ def plot_topic_words(
     if beta.ndim == 3:
         beta = beta.mean(axis=0)
     K = beta.shape[0]
+    n = min(n, beta.shape[1])
     topics = list(range(K)) if topics is None else list(topics)
     cols = min(len(topics), 4)
     rows = -(-len(topics) // cols)
@@ -98,6 +99,7 @@ def plot_word_frequencies(documents, vocab, n: int = 30, path: Optional[str] = N
         documents, V=len(vocab)
     )
     counts = corpus.word_counts()
+    n = min(n, len(counts))
     top = np.argsort(-counts)[:n][::-1]
     fig, ax = plt.subplots(figsize=(6, 0.25 * n + 1))
     ax.barh(range(n), counts[top])

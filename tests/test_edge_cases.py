@@ -110,3 +110,47 @@ def test_non_front_packed_padded_corpus_keeps_tokens():
     total_in = counts.sum()
     total_out = sum(b.counts.sum() for b in buckets)
     assert total_in == total_out
+
+
+def test_masked_doc_with_nonzero_counts_is_inert():
+    """Regression: doc_ok=False rows with leftover counts must behave
+    exactly like padding (uniform theta, no stat contributions)."""
+    from strutopy_tpu.corpus.bow import PaddedCorpus
+
+    words = np.zeros((4, 128), np.int32)
+    counts = np.zeros((4, 128), np.float32)
+    words[0, :3] = [0, 1, 2]; counts[0, :3] = 2
+    words[1, :2] = [3, 4]; counts[1, :2] = 1
+    words[2, :50] = np.arange(50); counts[2, :50] = 5  # masked, counts set
+    words[3, :2] = [1, 5]; counts[3, :2] = 3
+    pc = PaddedCorpus(words=words, counts=counts,
+                      doc_ok=np.array([True, True, False, True]), V=60)
+    m = STM(documents=pc, K=3, max_em_iter=2, init_type="random",
+            model_type="CTM")
+    m.expectation_maximization(saving=False)
+    np.testing.assert_allclose(m.theta[2], 1.0 / 3, atol=0.05)
+    assert not np.allclose(m.theta[2], m.theta[0])
+
+
+def test_json_array_with_leading_whitespace(tmp_path):
+    import json as _json
+
+    from strutopy_tpu.corpus.acquire import load_texts_json
+
+    p = tmp_path / "a.json"
+    p.write_text("\n  " + _json.dumps([{"text": "x"}, {"text": "y"}], indent=2))
+    texts, _ = load_texts_json(str(p))
+    assert texts == ["x", "y"]
+
+
+def test_small_vocab_plots(tmp_path):
+    from strutopy_tpu.corpus.bow import Vocabulary
+    from strutopy_tpu.eval.plots import plot_topic_words, plot_word_frequencies
+
+    rng = np.random.default_rng(0)
+    beta = rng.dirichlet(np.ones(8), size=3)  # V=8 < default n
+    vocab = Vocabulary([f"w{i}" for i in range(8)])
+    docs = [[(int(i), 1) for i in range(5)]]
+    plot_topic_words(beta, vocab, path=str(tmp_path / "a.png"))
+    plot_word_frequencies(docs, vocab, path=str(tmp_path / "b.png"))
+    assert (tmp_path / "a.png").stat().st_size > 0
