@@ -67,6 +67,10 @@ class NewtonConfig(NamedTuple):
     # in fori_loops / elementwise lane-reductions.  Same math, same
     # results — only the lowering strategy differs.
     mosaic_safe: bool = False
+    # run exactly max_iters Newton steps in a fori_loop instead of the
+    # early-exit while_loop (simpler control flow for kernel compilers;
+    # converged lanes are frozen by the done mask either way)
+    fixed_iters: bool = False
 
 
 class EStepResult(NamedTuple):
@@ -301,7 +305,12 @@ def _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg: NewtonConfig):
         jnp.zeros(B, bool),
         jnp.zeros(B, jnp.int32),
     )
-    eta, _, _, n_iters = jax.lax.while_loop(cond, body, st0)
+    if cfg.fixed_iters:
+        eta, _, _, n_iters = jax.lax.fori_loop(
+            0, cfg.max_iters, lambda _, st: body(st), st0
+        )
+    else:
+        eta, _, _, n_iters = jax.lax.while_loop(cond, body, st0)
     return eta, n_iters
 
 
