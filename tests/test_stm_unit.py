@@ -101,3 +101,47 @@ def test_debug_validate_state_catches_bad_beta():
     )
     with pytest.raises(NumericalCheckError):
         validate_state(bad, 0)
+
+
+def test_transform_new_documents(toy_corpus, toy_dictionary, toy_metadata):
+    """Serving path: theta inference for unseen docs under fixed params."""
+    train = toy_corpus.train_docs
+    model = STM(
+        documents=train,
+        dictionary=toy_dictionary,
+        K=3,
+        X=toy_metadata[: len(train)],
+        max_em_iter=4,
+        init_type="random",
+        model_type="STM",
+    )
+    model.expectation_maximization(saving=False)
+
+    test_docs = toy_corpus.test_docs
+    X_new = toy_metadata[len(train) : len(train) + len(test_docs)]
+    theta, eta = model.transform(test_docs, X=X_new)
+    assert theta.shape == (len(test_docs), 3)
+    assert eta.shape == (len(test_docs), 2)
+    np.testing.assert_allclose(theta.sum(axis=1), 1.0, atol=1e-4)
+    # transforming the training docs approximately reproduces the fitted
+    # thetas (exact equality is impossible: model.theta comes from the
+    # E-step BEFORE the final M-step updated beta/sigma, while transform
+    # uses the final parameters — the reference has the same lag)
+    theta_tr, _ = model.transform(train, X=toy_metadata[: len(train)])
+    np.testing.assert_allclose(theta_tr, model.theta, atol=0.05)
+    assert np.abs(theta_tr - model.theta).mean() < 0.01
+
+
+def test_transform_ctm_needs_no_covariates(toy_corpus, toy_dictionary):
+    model = STM(
+        documents=toy_corpus.train_docs,
+        dictionary=toy_dictionary,
+        K=3,
+        max_em_iter=2,
+        init_type="random",
+        model_type="CTM",
+    )
+    model.expectation_maximization(saving=False)
+    theta, _ = model.transform(toy_corpus.test_docs)
+    assert theta.shape[0] == len(toy_corpus.test_docs)
+    np.testing.assert_allclose(theta.sum(axis=1), 1.0, atol=1e-4)
