@@ -143,6 +143,7 @@ def train_and_eval_heldout(
     init_type: str = "spectral",
     max_em_iter: int = 10,
     mesh=None,
+    fast: bool = False,
     **kwargs,
 ):
     """Document-completion heldout evaluation of one configuration.
@@ -151,6 +152,11 @@ def train_and_eval_heldout(
     train+test and ``model_theta`` on train+test_1 (the first halves),
     then score ``test_2`` with ``eval_heldout(theta, beta)``.
     Returns (heldout_ll, model_beta, model_theta).
+
+    ``fast=True`` skips the second fit: theta for the completion halves
+    comes from ``model_beta.transform(test_1)`` (one E-step under the
+    fitted parameters — the fitNewDocuments-style variant), halving the
+    cost of a find-K sweep.
     """
     test_1, test_2 = cut_in_half(test_docs)
     beta_train_corpus = list(train_docs) + list(test_docs)
@@ -183,6 +189,16 @@ def train_and_eval_heldout(
     )
     model_beta.expectation_maximization(saving=False)
 
+    n_train = len(train_docs)
+    if fast:
+        X_test = None
+        if X is not None and model_type == "STM":
+            Xa = _X_for(len(beta_train_corpus))
+            X_test = np.asarray(Xa)[n_train : n_train + len(test_1)]
+        theta_heldout, _ = model_beta.transform(test_1, X=X_test)
+        ll = eval_heldout(test_2, theta_heldout, model_beta.beta)
+        return ll, model_beta, model_beta
+
     model_theta = STM(
         documents=theta_train_corpus,
         dictionary=dict_all,
@@ -197,7 +213,6 @@ def train_and_eval_heldout(
     model_theta.expectation_maximization(saving=False)
 
     # theta rows for the completion docs are the tail of theta_train_corpus
-    n_train = len(train_docs)
     theta_heldout = model_theta.theta[n_train : n_train + len(test_1)]
     ll = eval_heldout(test_2, theta_heldout, model_beta.beta)
     return ll, model_beta, model_theta
@@ -212,12 +227,15 @@ def find_k(
     init_type: str = "spectral",
     max_em_iter: int = 10,
     mesh=None,
+    fast: bool = False,
     **kwargs,
 ):
     """Heldout model selection over a K grid
     (reference src/06_example_application.py:33-99,183-195 and the dead
     heldout.py:149-155 find_k, reimplemented live).
 
+    ``fast=True`` uses the single-fit transform-based completion
+    (see train_and_eval_heldout), halving the sweep cost.
     Returns {model_type: {K: heldout_ll}}.
     """
     documents = list(documents)
@@ -236,6 +254,7 @@ def find_k(
                 init_type=init_type,
                 max_em_iter=max_em_iter,
                 mesh=mesh,
+                fast=fast,
                 **kwargs,
             )
             logger.info("find_k: model=%s K=%d heldout=%.5f", mt, K, ll)

@@ -105,3 +105,20 @@ def test_preprocess_build_corpus():
     # shared term "data" appears in both docs
     data_id = [i for i, t in enumerate(vocab) if t == "data"][0]
     assert all(any(w == data_id for (w, _) in doc) for doc in bow)
+
+
+def test_train_and_eval_heldout_fast(toy_corpus, toy_metadata):
+    """fast=True (single-fit transform completion) agrees in sign and
+    rough magnitude with the two-fit reference method."""
+    ll_slow, _, _ = pipeline.train_and_eval_heldout(
+        toy_corpus.train_docs, toy_corpus.test_docs, K=3,
+        X=toy_metadata, model_type="STM", init_type="random", max_em_iter=3,
+    )
+    ll_fast, mb, mt = pipeline.train_and_eval_heldout(
+        toy_corpus.train_docs, toy_corpus.test_docs, K=3,
+        X=toy_metadata, model_type="STM", init_type="random", max_em_iter=3,
+        fast=True,
+    )
+    assert mb is mt  # single fit
+    assert ll_fast < 0
+    assert abs(ll_fast - ll_slow) < 1.0
