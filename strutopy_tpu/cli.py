@@ -96,6 +96,13 @@ def main(argv=None):
     p.add_argument("--max-em-iter", type=int, default=10)
     _add_mesh_arg(p)
 
+    p = sub.add_parser("infer", help="serve: theta for new docs from saved artifacts")
+    p.add_argument("--model-dir", type=str, required=True,
+                   help="artifact directory written by `fit`")
+    p.add_argument("--corpus", type=str, required=True, help="pickled BoW docs")
+    p.add_argument("--X", type=str, default=None, help="covariates .npy for the new docs")
+    p.add_argument("--out", type=str, required=True, help="output theta .npy")
+
     sub.add_parser("bench", help="run the E-step throughput benchmark")
 
     args = ap.parse_args(argv)
@@ -183,6 +190,15 @@ def main(argv=None):
             mesh=_mesh_from_args(args),
         )
         print(json.dumps(results, indent=2))
+
+    elif args.cmd == "infer":
+        from strutopy_tpu.models.serving import infer_from_artifacts
+
+        corpus = _load_corpus(args.corpus)
+        X = np.load(args.X) if args.X else None
+        theta, _eta = infer_from_artifacts(args.model_dir, corpus, X=X)
+        np.save(args.out, theta)
+        print(f"wrote theta {theta.shape} to {args.out}")
 
     elif args.cmd == "bench":
         import subprocess

@@ -378,35 +378,14 @@ class STM:
         refit); this runs one batched E-step with the fitted beta/sigma
         and the prevalence prior mu = [1, X_new] @ gamma^T (or the CTM
         column mean), returning ``(theta, eta)`` in the documents' order.
+        For serving from saved artifacts without an STM instance, see
+        :func:`strutopy_tpu.models.serving.infer_from_artifacts`.
         """
-        import jax.numpy as jnp
-
-        from strutopy_tpu.models.em import CorpusData
-        from strutopy_tpu.models.em import local_estep_stats
-        from strutopy_tpu.corpus.bucketing import (
-            gather_per_bucket,
-            make_bucket_plan,
-            split_corpus_by_plan,
-        )
-        from strutopy_tpu.models.state import STMState
+        from strutopy_tpu.models.serving import infer_theta
 
         cfg = self.config
-        if isinstance(documents, PaddedCorpus):
-            corpus = documents
-        else:
-            corpus = pad_corpus(documents, V=self.V)
-        if corpus.V < self.V:
-            corpus = PaddedCorpus(corpus.words, corpus.counts, corpus.doc_ok, self.V)
-        N_new = corpus.N
+        N_new = documents.N if isinstance(documents, PaddedCorpus) else len(documents)
 
-        plan = make_bucket_plan(
-            corpus, cfg.batch_size,
-            max_buckets=cfg.max_buckets if cfg.auto_bucket else 1,
-        )
-        buckets = split_corpus_by_plan(corpus, plan)
-        N_pad = plan.n_storage
-
-        # prevalence prior for the new docs
         if cfg.model_type == "CTM" or self.X is None:
             mu_row = np.asarray(self._state.eta).mean(axis=0)
             mu_user = np.tile(mu_row, (N_new, 1))
@@ -421,43 +400,17 @@ class STM:
                 Xa = Xa[:, None]
             D_new = np.c_[np.ones(N_new), Xa] if cfg.fit_intercept else Xa
             mu_user = D_new @ np.asarray(self.gamma, np.float64).T
-        mu_storage = np.zeros((N_pad, cfg.K - 1), np.float32)
-        off = 0
-        for ids, size in zip(plan.doc_ids, plan.sizes):
-            mu_storage[off : off + len(ids)] = mu_user[ids]
-            off += size
 
-        aspects_user = np.zeros(N_new, np.int32)
+        aspects_user = None
         if cfg.content:
             if beta_index is None:
                 raise ValueError("content model requires beta_index for new docs")
-            aspects_user[:] = np.asarray(beta_index, np.int32).ravel()
-        aspect_buckets = gather_per_bucket(aspects_user, plan)
+            aspects_user = np.asarray(beta_index, np.int32).ravel()
 
-        data = CorpusData(
-            words=tuple(jnp.asarray(b.words) for b in buckets),
-            counts=tuple(jnp.asarray(b.counts) for b in buckets),
-            aspects=tuple(jnp.asarray(a) for a in aspect_buckets),
-            doc_ok=tuple(jnp.asarray(b.doc_ok) for b in buckets),
-            D=tuple(
-                jnp.zeros((b.N, self._D_np.shape[1]), jnp.float32) for b in buckets
-            ),
+        return infer_theta(
+            self.beta, self.sigma, mu_user.astype(np.float32), documents, cfg,
+            aspects_user=aspects_user,
         )
-        state = STMState(
-            beta=self._state.beta,
-            mu=jnp.asarray(mu_storage),
-            sigma=self._state.sigma,
-            eta=jnp.asarray(mu_storage),  # warm start at the prior mean
-            theta=jnp.zeros((N_pad, cfg.K), jnp.float32),
-            gamma=self._state.gamma,
-            kappa=self._state.kappa,
-            bound=self._state.bound,
-        )
-        _stats, eta, theta, _iters = local_estep_stats(
-            state, data, cfg, plan.batch_sizes
-        )
-        idx = plan.storage_index[:N_new]
-        return np.asarray(theta)[idx], np.asarray(eta)[idx]
 
     # ------------------------------------------------------------------
     # persistence (reference save_model artifact contract, stm.py:1120-1149)

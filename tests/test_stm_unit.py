@@ -145,3 +145,22 @@ def test_transform_ctm_needs_no_covariates(toy_corpus, toy_dictionary):
     theta, _ = model.transform(toy_corpus.test_docs)
     assert theta.shape[0] == len(toy_corpus.test_docs)
     np.testing.assert_allclose(theta.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_infer_from_artifacts_roundtrip(tmp_path, toy_corpus, toy_dictionary, toy_metadata):
+    """Serving from the saved artifact directory reproduces transform."""
+    from strutopy_tpu.models.serving import infer_from_artifacts
+
+    train = toy_corpus.train_docs
+    model = STM(
+        documents=train, dictionary=toy_dictionary, K=3,
+        X=toy_metadata[: len(train)], max_em_iter=3,
+        init_type="random", model_type="STM",
+    )
+    model.expectation_maximization(saving=True, output_dir=str(tmp_path))
+
+    test_docs = toy_corpus.test_docs
+    X_new = toy_metadata[len(train) : len(train) + len(test_docs)]
+    theta_live, _ = model.transform(test_docs, X=X_new)
+    theta_art, _ = infer_from_artifacts(str(tmp_path), test_docs, X=X_new)
+    np.testing.assert_allclose(theta_art, theta_live, atol=2e-3)
