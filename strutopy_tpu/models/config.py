@@ -58,6 +58,10 @@ class STMConfig:
     # own (static) padded L instead of the global max
     auto_bucket: bool = True
     max_buckets: int = 4
+    # order docs by last iteration's Newton count so scan chunks group
+    # similarly-hard documents (each chunk's while_loop runs to its own
+    # max, not the corpus max)
+    sort_by_difficulty: bool = True
 
     def __post_init__(self):
         if self.K < 2:

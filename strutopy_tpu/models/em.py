@@ -82,6 +82,14 @@ def local_estep_stats(state: STMState, data: CorpusData, cfg: STMConfig,
 
     Returns (stats to psum, eta, theta, newton_iters) with the
     per-document outputs concatenated back into storage order.
+
+    Difficulty-sorted chunking: within each bucket, documents are
+    processed in ascending order of last iteration's Newton count, so a
+    scan chunk's batched while_loop runs roughly its own documents'
+    iterations instead of the bucket-wide worst case (measured 1.45x
+    potential at K=100 steady state).  Sufficient statistics are
+    permutation-invariant; per-document outputs are scattered back to
+    storage order.
     """
     siginv, sigmaentropy = precompute_sigma(state.sigma)
     ncfg = _newton_cfg(cfg)
@@ -102,29 +110,51 @@ def local_estep_stats(state: STMState, data: CorpusData, cfg: STMConfig,
             if bucket_batches is not None
             else min(cfg.batch_size, n_b)
         )
+        mu_b = jax.lax.slice_in_dim(state.mu, lo, hi, axis=0)
+        eta_b = jax.lax.slice_in_dim(state.eta, lo, hi, axis=0)
+        words_b, counts_b = data.words[b], data.counts[b]
+        aspects_b, ok_b = data.aspects[b], data.doc_ok[b]
+
+        sort = cfg.sort_by_difficulty and n_b > B_b
+        if sort:
+            prev = jax.lax.slice_in_dim(state.opt_iters, lo, hi, axis=0)
+            perm = jnp.argsort(prev)
+            mu_b = mu_b[perm]
+            eta_b = eta_b[perm]
+            words_b = words_b[perm]
+            counts_b = counts_b[perm]
+            aspects_b = aspects_b[perm]
+            ok_b = ok_b[perm]
+
         res = run_estep(
             state.beta,
-            jax.lax.slice_in_dim(state.mu, lo, hi, axis=0),
-            jax.lax.slice_in_dim(state.eta, lo, hi, axis=0),
+            mu_b,
+            eta_b,
             siginv,
             sigmaentropy,
-            data.words[b],
-            data.counts[b],
-            data.aspects[b],
-            data.doc_ok[b],
+            words_b,
+            counts_b,
+            aspects_b,
+            ok_b,
             cfg=ncfg,
             batch_size=B_b,
             use_pallas=cfg.use_pallas,
         )
-        mom = mstep.eta_moments(data.D[b], res.eta)
+        eta_out, theta_out, iters_out = res.eta, res.theta, res.newton_iters
+        if sort:
+            eta_out = jnp.zeros_like(eta_out).at[perm].set(eta_out)
+            theta_out = jnp.zeros_like(theta_out).at[perm].set(theta_out)
+            iters_out = jnp.zeros_like(iters_out).at[perm].set(iters_out)
+
+        mom = mstep.eta_moments(data.D[b], eta_out)
         beta_ss = beta_ss + res.beta_ss
         sigma_ss = sigma_ss + res.sigma_ss
         bound = bound + res.bound
         Dt_eta = mom.Dt_eta if Dt_eta is None else Dt_eta + mom.Dt_eta
         eta_sum = eta_sum + mom.eta_sum
-        etas.append(res.eta)
-        thetas.append(res.theta)
-        iters.append(res.newton_iters)
+        etas.append(eta_out)
+        thetas.append(theta_out)
+        iters.append(iters_out)
 
     stats = GlobalStats(
         beta_ss=beta_ss,
@@ -160,7 +190,9 @@ def em_iteration(
     and psummed; everything else in the M-step is replicated compute on
     already-psummed stats.
     """
-    stats, eta, theta, _iters = local_estep_stats(state, data, cfg, bucket_batches)
+    stats, eta, theta, newton_iters = local_estep_stats(
+        state, data, cfg, bucket_batches
+    )
     stats = GlobalStats(*psum(tuple(stats)))
 
     mom = mstep.EtaMoments(Dt_eta=stats.Dt_eta, eta_sum=stats.eta_sum)
@@ -203,6 +235,7 @@ def em_iteration(
         gamma=gamma,
         kappa=kappa,
         bound=stats.bound,
+        opt_iters=newton_iters,
     )
 
 

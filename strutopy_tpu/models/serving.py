@@ -82,6 +82,7 @@ def infer_theta(
         gamma=jnp.zeros((K - 1, 1), jnp.float32),
         kappa=jnp.zeros((0, V), jnp.float32),
         bound=jnp.asarray(0.0, jnp.float32),
+        opt_iters=jnp.zeros((N_pad,), jnp.int32),
     )
     _stats, eta, theta, _iters = local_estep_stats(
         state, data, cfg, plan.batch_sizes

@@ -35,6 +35,10 @@ class STMState(NamedTuple):
     gamma: jax.Array
     kappa: jax.Array
     bound: jax.Array  # scalar ELBO of the last E-step
+    opt_iters: jax.Array  # (N,) int32: Newton iterations per doc last E-step
+    # (drives difficulty-sorted chunking: docs with similar convergence
+    # cost share scan chunks, so easy chunks exit the batched while_loop
+    # early instead of running to the slowest doc's count)
 
 
 def init_state(
@@ -71,6 +75,7 @@ def init_state(
         # the actual design width to keep state shapes iteration-stable
         kappa_p = K + A + A * K if content else 0
     return STMState(
+        opt_iters=jnp.zeros((N,), jnp.int32),
         beta=beta,
         mu=jnp.zeros((N, K - 1), dtype),
         sigma=20.0 * jnp.eye(K - 1, dtype=dtype),

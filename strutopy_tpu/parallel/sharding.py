@@ -37,6 +37,7 @@ def _state_specs(content: bool):
         gamma=P(),
         kappa=P(),
         bound=P(),
+        opt_iters=P(DOC_AXIS),
     )
 
 

@@ -98,6 +98,7 @@ def test_debug_validate_state_catches_bad_beta():
         gamma=jnp.zeros((1, 1)),
         kappa=jnp.zeros((0, 2)),
         bound=jnp.asarray(-1.0),
+        opt_iters=jnp.zeros((1,), jnp.int32),
     )
     with pytest.raises(NumericalCheckError):
         validate_state(bad, 0)
