@@ -17,7 +17,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
-HERE = os.path.dirname(os.path.abspath(__file__)) if "__file__" in globals() else "benchmarks"
+HERE = (os.path.dirname(os.path.abspath(__file__))
+        if "__file__" in globals() and "<" not in str(__file__)
+        else os.path.join(os.getcwd(), "benchmarks"))
 OUT = os.path.join(HERE, "results_scaling.json")
 
 
