@@ -86,6 +86,8 @@ def main(argv=None):
     p.add_argument("--model", choices=["STM", "CTM"], default="STM")
     p.add_argument("--init", choices=["spectral", "random"], default="spectral")
     p.add_argument("--max-em-iter", type=int, default=10)
+    p.add_argument("--fast", action="store_true",
+                   help="single-fit transform-based completion (2x faster)")
     _add_mesh_arg(p)
 
     p = sub.add_parser("find-k", help="heldout K selection (ref: 06_example_application)")
@@ -94,6 +96,8 @@ def main(argv=None):
     p.add_argument("--X", type=str, default=None)
     p.add_argument("--models", nargs="+", default=["STM"])
     p.add_argument("--max-em-iter", type=int, default=10)
+    p.add_argument("--fast", action="store_true",
+                   help="single-fit transform-based completion (2x faster)")
     _add_mesh_arg(p)
 
     p = sub.add_parser("infer", help="serve: theta for new docs from saved artifacts")
@@ -173,6 +177,7 @@ def main(argv=None):
             init_type=args.init,
             max_em_iter=args.max_em_iter,
             mesh=_mesh_from_args(args),
+            fast=args.fast,
         )
         print(f"heldout log-likelihood: {ll:.5f}")
 
@@ -188,6 +193,7 @@ def main(argv=None):
             model_types=args.models,
             max_em_iter=args.max_em_iter,
             mesh=_mesh_from_args(args),
+            fast=args.fast,
         )
         print(json.dumps(results, indent=2))
 

@@ -50,6 +50,7 @@ class STMConfig:
     newton_max_backtracks: int = 12
     newton_cg_iters: int = 12  # Steihaug CG steps (capped at K-1)
     newton_bf16_hessian: bool = True  # bf16 MXU matmul for the in-loop Hessian
+    newton_fixed_iters: bool = False  # run exactly max_iters (fori_loop)
     # execution
     batch_size: int = 256  # docs per E-step scan chunk (per device; smaller chunks reduce Newton convergence coupling — B=128-256 measured fastest at K=100)
     use_pallas: bool = False  # fused Pallas E-step kernel (TPU only)

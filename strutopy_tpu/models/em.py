@@ -66,6 +66,7 @@ def _newton_cfg(cfg: STMConfig) -> NewtonConfig:
         max_backtracks=cfg.newton_max_backtracks,
         cg_iters=cfg.newton_cg_iters,
         bf16_hessian=cfg.newton_bf16_hessian,
+        fixed_iters=cfg.newton_fixed_iters,
     )
 
 

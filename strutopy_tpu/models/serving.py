@@ -44,7 +44,14 @@ def infer_theta(
         corpus = documents
     else:
         corpus = pad_corpus(documents, V=V)
-    if corpus.V < V:
+    max_id = int(corpus.words[corpus.counts > 0].max()) if (corpus.counts > 0).any() else -1
+    if max_id >= V:
+        raise ValueError(
+            f"documents contain word id {max_id} but the model vocabulary "
+            f"has only {V} terms — were they encoded with a different "
+            "vocabulary? (a silent gather-clamp would produce wrong theta)"
+        )
+    if corpus.V != V:
         corpus = PaddedCorpus(corpus.words, corpus.counts, corpus.doc_ok, V)
     N_new = corpus.N
     K = beta.shape[-2]
@@ -56,11 +63,9 @@ def infer_theta(
     buckets = split_corpus_by_plan(corpus, plan)
     N_pad = plan.n_storage
 
-    mu_storage = np.zeros((N_pad, K - 1), np.float32)
-    off = 0
-    for ids, size in zip(plan.doc_ids, plan.sizes):
-        mu_storage[off : off + len(ids)] = mu_user[ids]
-        off += size
+    mu_storage = np.concatenate(
+        gather_per_bucket(np.asarray(mu_user, np.float32), plan), axis=0
+    )
 
     if aspects_user is None:
         aspects_user = np.zeros(N_new, np.int32)
@@ -102,6 +107,11 @@ def infer_from_artifacts(
     from strutopy_tpu.models.config import STMConfig
 
     art = load_model_artifacts(model_dir)
+    if "beta" not in art or "sigma" not in art:
+        raise FileNotFoundError(
+            f"{model_dir} does not contain beta_hat.npy/sigma_hat.npy — "
+            "is it a model artifact directory written by save_model?"
+        )
     cfg_path = os.path.join(model_dir, "stm_config.json")
     if os.path.exists(cfg_path):
         with open(cfg_path) as f:
@@ -122,8 +132,25 @@ def infer_from_artifacts(
     else:
         N_new = documents.N
 
+    if beta.ndim == 3 and beta_index is None:
+        raise ValueError(
+            "this is a content-covariate model (per-aspect beta); pass "
+            "beta_index for the new documents"
+        )
+
     gamma = art.get("gamma")
-    if gamma is not None and X is not None:
+    if gamma is not None and gamma.shape[1] == 1:
+        # intercept-only prevalence (STM fit without covariates):
+        # mu is the intercept row, no X needed
+        mu_user = np.tile(np.asarray(gamma, np.float64)[:, 0], (N_new, 1))
+        return infer_theta(beta, sigma, mu_user.astype(np.float32), documents,
+                           cfg, aspects_user=beta_index)
+    if gamma is not None and np.abs(gamma).sum() > 0:
+        if X is None:
+            raise ValueError(
+                "the model was fit with prevalence covariates (gamma_hat "
+                "present); pass X for the new documents"
+            )
         Xa = np.asarray(X, np.float64)
         if Xa.ndim == 1:
             Xa = Xa[:, None]

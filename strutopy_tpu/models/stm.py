@@ -387,7 +387,9 @@ class STM:
         N_new = documents.N if isinstance(documents, PaddedCorpus) else len(documents)
 
         if cfg.model_type == "CTM" or self.X is None:
-            mu_row = np.asarray(self._state.eta).mean(axis=0)
+            # mean over REAL docs only (self.eta is trimmed of padding;
+            # padded rows are frozen at 0 and would shrink the prior)
+            mu_row = self.eta.mean(axis=0)
             mu_user = np.tile(mu_row, (N_new, 1))
         else:
             if X is None:

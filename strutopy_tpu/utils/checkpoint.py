@@ -36,7 +36,15 @@ def save_checkpoint(path: str, state: STMState, bounds, em_iter: int, config_jso
 
 def load_checkpoint(path: str) -> Tuple[STMState, list, int, Optional[str]]:
     with np.load(path, allow_pickle=False) as z:
-        state = STMState(*(jnp.asarray(z[f]) for f in STMState._fields))
+        fields = {}
+        for f in STMState._fields:
+            if f in z:
+                fields[f] = jnp.asarray(z[f])
+        # forward compatibility: fields added after a checkpoint was
+        # written default to zeros of the natural shape
+        if "opt_iters" not in fields and "eta" in fields:
+            fields["opt_iters"] = jnp.zeros(fields["eta"].shape[0], jnp.int32)
+        state = STMState(**fields)
         bounds = list(z["__bounds"])
         em_iter = int(z["__em_iter"])
         cfg = bytes(z["__config"]).decode() or None
