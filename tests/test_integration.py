@@ -186,3 +186,48 @@ def test_stm_ols_matches_float64_oracle(toy_corpus, toy_metadata):
     np.testing.assert_allclose(model.last_bounds, oracle_bounds, rtol=2e-4)
     np.testing.assert_allclose(model.gamma, o_gamma, atol=5e-3)
     np.testing.assert_allclose(model.sigma, o_sigma, rtol=2e-2, atol=2e-3)
+
+
+def test_lasso_mode_end_to_end(toy_corpus, toy_dictionary, toy_metadata):
+    train = toy_corpus.train_docs
+    m = STM(
+        documents=train, dictionary=toy_dictionary, K=3,
+        X=toy_metadata[: len(train)], max_em_iter=3,
+        init_type="random", model_type="STM", mode="lasso",
+    )
+    m.expectation_maximization(saving=False)
+    assert np.isfinite(m.last_bounds).all()
+    assert m.last_bounds[1] > m.last_bounds[0]
+    # lasso shrinks: some coefficients at exactly zero is plausible but
+    # not guaranteed on toy data; at minimum the fit stays sane
+    np.testing.assert_allclose(m.theta.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_sigma_prior_shrinkage_end_to_end(toy_corpus, toy_dictionary, toy_metadata):
+    train = toy_corpus.train_docs
+    kw = dict(documents=train, dictionary=toy_dictionary, K=3,
+              X=toy_metadata[: len(train)], max_em_iter=3,
+              init_type="random", model_type="CTM", seed=123456)
+    m0 = STM(sigma_prior=0.0, **kw)
+    m0.expectation_maximization(saving=False)
+    m9 = STM(sigma_prior=0.9, **kw)
+    m9.expectation_maximization(saving=False)
+    off0 = np.abs(m0.sigma - np.diag(np.diag(m0.sigma))).sum()
+    off9 = np.abs(m9.sigma - np.diag(np.diag(m9.sigma))).sum()
+    assert off9 < off0  # shrinkage toward the diagonal
+
+
+def test_spectral_plus_content(toy_corpus, toy_dictionary):
+    rng = np.random.default_rng(1)
+    train = toy_corpus.train_docs
+    bi = rng.integers(0, 2, len(train))
+    m = STM(
+        documents=train, dictionary=toy_dictionary, K=3,
+        X=bi, content=True, A=2, beta_index=bi, lda_beta=False,
+        kappa_interactions=True, max_em_iter=2,
+        init_type="spectral", model_type="STM",
+    )
+    m.expectation_maximization(saving=False)
+    assert m.beta.shape == (2, 3, len(toy_dictionary))
+    np.testing.assert_allclose(m.beta.sum(axis=-1), 1.0, atol=1e-4)
+    assert np.isfinite(m.last_bounds).all()
