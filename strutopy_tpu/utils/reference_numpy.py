@@ -205,3 +205,72 @@ def fit_stm_ols(documents, V, K, X, n_iter=4, seed=123456):
         beta, mu, sigma, gamma = m_step_stm_ols(beta_ss, sigma_ss, eta, D)
         bounds.append(bound)
     return bounds, beta, theta, sigma, gamma
+
+
+def m_step_content(beta_ss, sigma_ss, eta, wcounts, kappa_design, N,
+                   alpha=250.0, sigma_prior=0.0):
+    """Content-model M-step oracle: CTM mu + per-word sklearn
+    PoissonRegressor fits (the reference's engine, with its per-word
+    column bug fixed) -> (beta (A,K,V), mu, sigma, kappa)."""
+    import sklearn.linear_model
+
+    mu_row = eta.mean(axis=0)
+    mu = np.tile(mu_row, (N, 1))
+    resid = (eta - mu).T @ (eta - mu)
+    sigma = (resid + sigma_ss) / N
+    sigma = np.diag(np.diag(sigma)) * sigma_prior + (1 - sigma_prior) * sigma
+
+    counts = beta_ss.reshape(-1, beta_ss.shape[-1])  # ((A*K), V)
+    V = counts.shape[1]
+    m = np.log(np.maximum(wcounts, 1e-10)) - np.log(max(wcounts.sum(), 1e-10))
+    offset = np.log(np.maximum(counts.sum(axis=1), 1e-10))
+    coefs = []
+    for i in range(V):
+        # sklearn has no offset; absorb exp(m_i + offset) as sample
+        # weights via the identity: Poisson LL with offset o equals a
+        # weighted fit of y/exp(o) with weights exp(o)
+        w = np.exp(m[i] + offset)
+        y = counts[:, i] / w
+        # sklearn normalizes the weighted deviance by sum(w), our TPU
+        # objective by n rows: rescale the penalty to match
+        n_rows = counts.shape[0]
+        clf = sklearn.linear_model.PoissonRegressor(
+            fit_intercept=False, alpha=alpha * n_rows / w.sum(),
+            tol=1e-10, max_iter=20000,
+        )
+        clf.fit(kappa_design, y, sample_weight=w)
+        coefs.append(clf.coef_)
+    kappa = np.stack(coefs, axis=1)  # (P, V)
+    linpred = m[None, :] + kappa_design @ kappa
+    expl = np.exp(linpred - linpred.max(axis=1, keepdims=True))
+    beta = expl / expl.sum(axis=1, keepdims=True)
+    return beta.reshape(beta_ss.shape), mu, sigma, kappa
+
+
+def fit_content(documents, V, K, A, betaindex, kappa_design, n_iter=2,
+                seed=123456, alpha=250.0):
+    """Mini EM driver for the content model (CTM prevalence), float64."""
+    rng = np.random.RandomState(seed)
+    g = rng.gamma(0.1, 1.0, (K, V))
+    b0 = g / g.sum(axis=1, keepdims=True)
+    beta = np.tile(b0[None], (A, 1, 1))
+    N = len(documents)
+    mu = np.zeros((N, K - 1))
+    eta = np.zeros((N, K - 1))
+    sigma = 20.0 * np.eye(K - 1)
+    wcounts = np.zeros(V)
+    for doc in documents:
+        for w, c in doc:
+            wcounts[w] += c
+    bounds = []
+    kappa = None
+    for _ in range(n_iter):
+        beta_ss, sigma_ss, bound, eta, theta = e_step(
+            documents, beta, mu, eta, sigma, betaindex=betaindex,
+            interactions=True,
+        )
+        beta, mu, sigma, kappa = m_step_content(
+            beta_ss, sigma_ss, eta, wcounts, kappa_design, N, alpha=alpha
+        )
+        bounds.append(bound)
+    return bounds, beta, kappa

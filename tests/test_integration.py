@@ -231,3 +231,37 @@ def test_spectral_plus_content(toy_corpus, toy_dictionary):
     assert m.beta.shape == (2, 3, len(toy_dictionary))
     np.testing.assert_allclose(m.beta.sum(axis=-1), 1.0, atol=1e-4)
     assert np.isfinite(m.last_bounds).all()
+
+
+def test_content_model_matches_float64_oracle():
+    """End-to-end content-model (kappa/mnreg) trajectory parity against
+    the float64 oracle whose M-step uses sklearn PoissonRegressor fits
+    per word (offset folded in via the sample-weight identity)."""
+    from strutopy_tpu.ops.mstep import build_kappa_design
+    from strutopy_tpu.utils.reference_numpy import fit_content
+
+    rng = np.random.default_rng(0)
+    K, A, V, N = 3, 2, 60, 60
+    beta_true = rng.dirichlet(np.ones(V), size=K)
+    aspect = rng.integers(0, A, N)
+    docs = []
+    for d in range(N):
+        p = rng.dirichlet(np.ones(K)) @ beta_true
+        draw = rng.multinomial(40, p)
+        ids = np.nonzero(draw)[0]
+        docs.append(list(zip(ids.tolist(), draw[ids].tolist())))
+
+    m = STM(
+        documents=docs, K=K, X=aspect.astype(float), content=True, A=A,
+        beta_index=aspect, lda_beta=False, kappa_interactions=True,
+        max_em_iter=2, init_type="random", model_type="CTM", seed=123456,
+    )
+    m.expectation_maximization(saving=False)
+
+    design = build_kappa_design(K, A, True)
+    ob, o_beta, o_kappa = fit_content(
+        docs, m.V, K, A, aspect, design, n_iter=2, seed=123456
+    )
+    np.testing.assert_allclose(m.last_bounds, ob, rtol=2e-3)
+    np.testing.assert_allclose(m.beta, o_beta, atol=2e-3)
+    np.testing.assert_allclose(m.kappa, o_kappa, atol=2e-2)
