@@ -44,7 +44,8 @@ def infer_theta(
         corpus = documents
     else:
         corpus = pad_corpus(documents, V=V)
-    max_id = int(corpus.words[corpus.counts > 0].max()) if (corpus.counts > 0).any() else -1
+    live = (corpus.counts > 0) & corpus.doc_ok[:, None]
+    max_id = int(corpus.words[live].max()) if live.any() else -1
     if max_id >= V:
         raise ValueError(
             f"documents contain word id {max_id} but the model vocabulary "
@@ -139,27 +140,32 @@ def infer_from_artifacts(
         )
 
     gamma = art.get("gamma")
-    if gamma is not None and gamma.shape[1] == 1:
-        # intercept-only prevalence (STM fit without covariates):
-        # mu is the intercept row, no X needed
-        mu_user = np.tile(np.asarray(gamma, np.float64)[:, 0], (N_new, 1))
-        return infer_theta(beta, sigma, mu_user.astype(np.float32), documents,
-                           cfg, aspects_user=beta_index)
-    if gamma is not None and np.abs(gamma).sum() > 0:
-        if X is None:
-            raise ValueError(
-                "the model was fit with prevalence covariates (gamma_hat "
-                "present); pass X for the new documents"
-            )
+    if gamma is not None and X is not None:
         Xa = np.asarray(X, np.float64)
         if Xa.ndim == 1:
             Xa = Xa[:, None]
         P = gamma.shape[1]
         if Xa.shape[1] == P - 1:  # intercept column expected
             D = np.c_[np.ones(N_new), Xa]
-        else:
+        elif Xa.shape[1] == P:
             D = Xa
+        else:
+            raise ValueError(
+                f"X has {Xa.shape[1]} column(s) but gamma_hat expects a "
+                f"{P}-column design; if the model was fit with a "
+                "categorical covariate, pass the SAME one-hot encoding "
+                "used at training (build_design one-hot encodes 1-D "
+                "non-binary covariates)"
+            )
         mu_user = D @ np.asarray(gamma, np.float64).T
+    elif gamma is not None and gamma.shape[1] == 1 and cfg.fit_intercept:
+        # intercept-only prevalence (STM fit without covariates)
+        mu_user = np.tile(np.asarray(gamma, np.float64)[:, 0], (N_new, 1))
+    elif gamma is not None and np.abs(gamma).sum() > 0:
+        raise ValueError(
+            "the model was fit with prevalence covariates (gamma_hat "
+            "present); pass X for the new documents"
+        )
     elif "eta" in art:
         mu_user = np.tile(np.asarray(art["eta"]).mean(axis=0), (N_new, 1))
     else:

@@ -387,9 +387,11 @@ class STM:
         N_new = documents.N if isinstance(documents, PaddedCorpus) else len(documents)
 
         if cfg.model_type == "CTM" or self.X is None:
-            # mean over REAL docs only (self.eta is trimmed of padding;
-            # padded rows are frozen at 0 and would shrink the prior)
-            mu_row = self.eta.mean(axis=0)
+            # mean over REAL docs only: exclude padding rows AND empty
+            # (doc_ok=False) user docs, matching the fitted mu which
+            # divides by doc_ok.sum() (ops/mstep.py CTM path)
+            ok = self._corpus.doc_ok[: self.N]
+            mu_row = self.eta[ok].mean(axis=0) if ok.any() else self.eta.mean(axis=0)
             mu_user = np.tile(mu_row, (N_new, 1))
         else:
             if X is None:
@@ -401,6 +403,13 @@ class STM:
             if Xa.ndim == 1:
                 Xa = Xa[:, None]
             D_new = np.c_[np.ones(N_new), Xa] if cfg.fit_intercept else Xa
+            if D_new.shape[1] != self.gamma.shape[1]:
+                raise ValueError(
+                    f"X has {Xa.shape[1]} column(s) but the fitted gamma "
+                    f"expects a {self.gamma.shape[1]}-column design; "
+                    "categorical covariates must be passed with the same "
+                    "one-hot encoding used at training"
+                )
             mu_user = D_new @ np.asarray(self.gamma, np.float64).T
 
         aspects_user = None

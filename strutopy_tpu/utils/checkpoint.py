@@ -40,10 +40,17 @@ def load_checkpoint(path: str) -> Tuple[STMState, list, int, Optional[str]]:
         for f in STMState._fields:
             if f in z:
                 fields[f] = jnp.asarray(z[f])
-        # forward compatibility: fields added after a checkpoint was
-        # written default to zeros of the natural shape
+        # compatibility shim for checkpoints written before a field
+        # existed (currently: opt_iters).  NOTE: any future STMState
+        # field needs its own default here, or old checkpoints fail.
         if "opt_iters" not in fields and "eta" in fields:
             fields["opt_iters"] = jnp.zeros(fields["eta"].shape[0], jnp.int32)
+        missing = [f for f in STMState._fields if f not in fields]
+        if missing:
+            raise ValueError(
+                f"checkpoint {path} lacks state fields {missing} and no "
+                "compatibility default is defined for them"
+            )
         state = STMState(**fields)
         bounds = list(z["__bounds"])
         em_iter = int(z["__em_iter"])

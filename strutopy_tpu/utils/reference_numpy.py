@@ -141,13 +141,18 @@ def e_step(documents, beta, mu, eta, sigma, betaindex=None, interactions=False):
     return beta_ss, sigma_ss, bound, eta_new, theta_all
 
 
-def m_step_ctm_lda(beta_ss, sigma_ss, eta, N, sigma_prior=0.0):
-    """CTM prevalence (column-mean mu) + LDA beta row-normalization."""
-    mu_row = eta.mean(axis=0)
-    mu = np.tile(mu_row, (N, 1))
+def _ctm_mu_sigma(eta, sigma_ss, N, sigma_prior=0.0):
+    """Shared CTM mu (column mean) + sigma update."""
+    mu = np.tile(eta.mean(axis=0), (N, 1))
     resid = (eta - mu).T @ (eta - mu)
     sigma = (resid + sigma_ss) / N
     sigma = np.diag(np.diag(sigma)) * sigma_prior + (1 - sigma_prior) * sigma
+    return mu, sigma
+
+
+def m_step_ctm_lda(beta_ss, sigma_ss, eta, N, sigma_prior=0.0):
+    """CTM prevalence (column-mean mu) + LDA beta row-normalization."""
+    mu, sigma = _ctm_mu_sigma(eta, sigma_ss, N, sigma_prior)
     rs = beta_ss.sum(axis=-1, keepdims=True)
     beta = np.divide(beta_ss, rs, out=np.zeros_like(beta_ss), where=rs > 0)
     return beta, mu, sigma
@@ -214,11 +219,7 @@ def m_step_content(beta_ss, sigma_ss, eta, wcounts, kappa_design, N,
     column bug fixed) -> (beta (A,K,V), mu, sigma, kappa)."""
     import sklearn.linear_model
 
-    mu_row = eta.mean(axis=0)
-    mu = np.tile(mu_row, (N, 1))
-    resid = (eta - mu).T @ (eta - mu)
-    sigma = (resid + sigma_ss) / N
-    sigma = np.diag(np.diag(sigma)) * sigma_prior + (1 - sigma_prior) * sigma
+    mu, sigma = _ctm_mu_sigma(eta, sigma_ss, N, sigma_prior)
 
     counts = beta_ss.reshape(-1, beta_ss.shape[-1])  # ((A*K), V)
     V = counts.shape[1]
