@@ -20,10 +20,23 @@ DOC_AXIS = "docs"
 
 
 def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
-    """1-D document-parallel mesh over the first ``n_devices`` devices."""
+    """1-D document-parallel mesh over the first ``n_devices`` devices.
+
+    Raises if fewer than ``n_devices`` devices exist — silently
+    truncating would make an "8-way" mesh a 1-way mesh and void any
+    multi-chip validation built on it.
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}) needs {n_devices} devices but the "
+                f"{jax.default_backend()} backend has {len(devices)}; for a "
+                "virtual CPU mesh set XLA_FLAGS=--xla_force_host_platform_"
+                f"device_count={n_devices} and force jax_platforms=cpu "
+                "before first device use"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DOC_AXIS,))
 
