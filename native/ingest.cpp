@@ -74,6 +74,17 @@ void* stm_mm_open(const char* path) {
   while (std::fgets(line, sizeof line, f)) {
     if (line[0] == '\n' || line[0] == '\0') continue;
     if (std::sscanf(line, "%lld %lld %lf", &i, &j, &v) != 3) continue;
+    // File-supplied indices are untrusted: an out-of-range doc id would
+    // scatter out of bounds below (heap corruption), and a term id
+    // >= n_terms would propagate word ids >= V into the fit path where
+    // XLA's clamped gather silently corrupts results.
+    if (i < 1 || i > n_docs || j < 1 || j > n_terms) {
+      c->error = "entry (" + std::to_string(i) + ", " + std::to_string(j) +
+                 ") outside the declared " + std::to_string(n_docs) + " x " +
+                 std::to_string(n_terms) + " matrix";
+      std::fclose(f);
+      return c;
+    }
     di.push_back(i - 1);
     c->words.push_back(static_cast<int32_t>(j - 1));
     c->counts.push_back(static_cast<float>(v));

@@ -35,17 +35,25 @@ def read_mm(path: str) -> list:
         line = f.readline()
         while line.startswith("%"):
             line = f.readline()
-        n_docs, _n_terms, _nnz = (int(x) for x in line.split())
-        for line in f:
+        n_docs, n_terms, _nnz = (int(x) for x in line.split())
+        for lineno, line in enumerate(f, start=3):
             if not line.strip():
                 continue
             i, j, v = line.split()
             d = int(i) - 1
+            t = int(j) - 1
+            # a truncated/corrupt file must error, not silently yield a
+            # smaller corpus or out-of-vocabulary word ids
+            if not (0 <= d < n_docs) or not (0 <= t < n_terms):
+                raise ValueError(
+                    f"{path}:{lineno}: entry ({i}, {j}) outside the "
+                    f"declared {n_docs} x {n_terms} matrix"
+                )
             val = float(v)
             # keep integral counts as ints (BoW convention) but do not
             # truncate genuine fractional weights
             docs.setdefault(d, []).append(
-                (int(j) - 1, int(val) if val.is_integer() else val)
+                (t, int(val) if val.is_integer() else val)
             )
     return [sorted(docs.get(d, [])) for d in range(n_docs)]
 

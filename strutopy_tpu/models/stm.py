@@ -132,8 +132,13 @@ class STM:
         X_user = None
         if self.X is not None:
             Xa = self.X if self.X.ndim > 1 else self.X[:, None]
-            X_user = np.zeros((corpus.N, Xa.shape[1]), np.float64)
-            X_user[: Xa.shape[0]] = Xa
+            if Xa.shape[0] != corpus.N:
+                raise ValueError(
+                    f"X has {Xa.shape[0]} rows but the corpus has "
+                    f"{corpus.N} documents; covariates must cover every "
+                    "document (silent zero-fill would produce wrong mu)"
+                )
+            X_user = Xa.astype(np.float64)
 
         aspects_user = np.zeros(corpus.N, np.int32)
         if config.content:
@@ -150,7 +155,10 @@ class STM:
         else:
             X_storage = None
         self._D_np, self._design = mstep.make_prevalence_design(
-            X_storage, doc_ok_storage, fit_intercept=config.fit_intercept
+            X_storage,
+            doc_ok_storage,
+            fit_intercept=config.fit_intercept,
+            ridge_alpha=config.ridge_alpha,
         )
         # per-bucket design rows (bucket-contiguous in storage order)
         D_buckets = np.split(

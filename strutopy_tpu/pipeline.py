@@ -171,10 +171,14 @@ def train_and_eval_heldout(
         if X is None:
             return None
         Xa = np.asarray(X)
-        if len(Xa) >= n:
-            return Xa[:n]
-        reps = -(-n // len(Xa))
-        return np.tile(Xa, (reps,) + (1,) * (Xa.ndim - 1))[:n]
+        if len(Xa) < n:
+            raise ValueError(
+                f"X has {len(Xa)} rows but the heldout protocol fits "
+                f"{n} documents (train + split test); pass covariates for "
+                "the full corpus — fabricating rows by tiling would skew "
+                "the comparison"
+            )
+        return Xa[:n]
 
     model_beta = STM(
         documents=beta_train_corpus,

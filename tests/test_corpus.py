@@ -49,3 +49,23 @@ def test_vocabulary():
     v = Vocabulary.from_corpus([[(0, 1), (4, 2)]])
     assert len(v) == 5
     assert v[3] == "3"
+
+
+def test_read_mm_rejects_out_of_range_entries(tmp_path):
+    """Truncated/corrupt .mm files must error, not silently shrink the
+    corpus or pass out-of-vocabulary word ids downstream (ADVICE r1)."""
+    import pytest
+    from strutopy_tpu.corpus.io import read_mm
+
+    p = tmp_path / "bad.mm"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n3 5 2\n1 2 1\n9 1 4\n"
+    )
+    with pytest.raises(ValueError, match="outside the declared"):
+        read_mm(str(p))
+    p2 = tmp_path / "badterm.mm"
+    p2.write_text(
+        "%%MatrixMarket matrix coordinate real general\n3 5 2\n1 2 1\n2 6 4\n"
+    )
+    with pytest.raises(ValueError, match="outside the declared"):
+        read_mm(str(p2))

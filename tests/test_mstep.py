@@ -168,3 +168,41 @@ def test_update_beta_content_shapes_and_simplex():
     assert kappa.shape == (Xd.shape[1], V)
     np.testing.assert_allclose(np.asarray(beta).sum(axis=-1), 1.0, atol=1e-4)
     assert np.all(np.asarray(beta) >= 0)
+
+
+@pytest.mark.parametrize("offset,tol", [(10.0, 1e-3), (50.0, 1e-2), (200.0, 1e-2)])
+def test_ols_ill_conditioned_matches_sklearn(offset, tol):
+    """f64 host-precomputed solve operator (VERDICT r1 #9): designs with
+    wildly different column scales (kappa(DtD) 1e6..1e13) must still
+    predict like sklearn.  The old on-device float32 pinv gives ~1e-2
+    relative prediction error already at kappa ~ 1e6 and O(1) beyond."""
+    rng = np.random.default_rng(1)
+    N, K = 400, 4
+    x = rng.normal(offset, 1.0, N)  # offset -> near-collinear with intercept
+    X = np.c_[x, x**2 / offset]
+    W = np.array([[0.5, -0.2, 0.1], [0.01, 0.02, -0.01]])
+    eta = X @ W + 0.1 * rng.normal(size=(N, K - 1))
+    doc_ok = np.ones(N, bool)
+    D, design = mstep.make_prevalence_design(X, doc_ok)
+    moments = _moments(D.astype(np.float64), eta)  # f32 moments, as on device
+    gamma, _ = mstep.update_prevalence(moments, design, "STM", "ols")
+    ref = sklearn.linear_model.LinearRegression(fit_intercept=True).fit(X, eta)
+    pred_ours = np.c_[np.ones(N), X] @ np.asarray(gamma, np.float64).T
+    pred_ref = ref.predict(X)
+    # compare predictions (coefs are non-identifiable at this conditioning)
+    scale = np.abs(pred_ref).max()
+    assert np.abs(pred_ours - pred_ref).max() / scale < tol
+
+
+def test_ridge_precomputed_alpha_guard(reg_data):
+    """inv_ridge bakes in its alpha; a different runtime alpha must fall
+    back to the on-device solve, not silently use the wrong operator."""
+    D, X, eta = reg_data
+    _, design = mstep.make_prevalence_design(X, np.ones(len(X), bool),
+                                             ridge_alpha=0.1)
+    gamma, _ = mstep.update_prevalence(
+        _moments(D, eta), design, "STM", "ridge", ridge_alpha=5.0
+    )
+    ref = sklearn.linear_model.Ridge(alpha=5.0, fit_intercept=True).fit(X, eta)
+    np.testing.assert_allclose(np.asarray(gamma)[:, 1:], ref.coef_,
+                               rtol=5e-3, atol=1e-3)

@@ -53,3 +53,21 @@ def test_native_pack_coo_grows_L():
     assert padded is not None
     assert padded.L >= n
     assert int(padded.counts.sum()) == n
+
+
+def test_native_rejects_out_of_range_entries(tmp_path):
+    """stm_mm_open bounds-checks file-supplied indices (ADVICE r1
+    medium): an out-of-range doc id previously scattered out of bounds
+    (heap corruption); a term id > n_terms propagated ids >= V into the
+    fit path where XLA's clamped gather silently corrupts results."""
+    import pytest
+    from strutopy_tpu.corpus import native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    p = tmp_path / "bad.mm"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n3 5 2\n1 2 1\n9 1 4\n"
+    )
+    with pytest.raises(Exception, match="outside the declared"):
+        native.read_mm_padded(str(p))

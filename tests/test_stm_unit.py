@@ -165,3 +165,14 @@ def test_infer_from_artifacts_roundtrip(tmp_path, toy_corpus, toy_dictionary, to
     theta_live, _ = model.transform(test_docs, X=X_new)
     theta_art, _ = infer_from_artifacts(str(tmp_path), test_docs, X=X_new)
     np.testing.assert_allclose(theta_art, theta_live, atol=2e-3)
+
+
+def test_stm_rejects_covariate_length_mismatch(toy_corpus, toy_dictionary):
+    """X shorter than the corpus must raise, not silently zero-fill
+    covariates for the tail documents (ADVICE r1)."""
+    import pytest
+
+    docs = toy_corpus.train_docs
+    with pytest.raises(ValueError, match="rows but the corpus"):
+        STM(documents=docs, dictionary=toy_dictionary, K=3,
+            X=np.ones(len(docs) - 3), model_type="STM", init_type="random")
