@@ -35,17 +35,16 @@ def frex(beta: np.ndarray, w: float = 0.5) -> np.ndarray:
     beta = np.asarray(beta, np.float64)
     with np.errstate(divide="ignore"):
         logbeta = np.log(beta)
-    col_lse = _logsumexp(logbeta, axis=0)
+    # scipy's logsumexp, not a hand-rolled one: exact ties in real
+    # corpora (words with identical counts) must stay exact ties, or
+    # the max-rank ECDF shifts whole tie-groups vs the reference
+    import scipy.special
+
+    col_lse = scipy.special.logsumexp(logbeta, axis=0)
     log_exclusivity = logbeta - col_lse[None, :]
     exclusivity_ecdf = np.apply_along_axis(ecdf, 1, log_exclusivity)
     freq_ecdf = np.apply_along_axis(ecdf, 1, logbeta)
     return 1.0 / (w / exclusivity_ecdf + (1 - w) / freq_ecdf)
-
-
-def _logsumexp(a, axis):
-    m = np.max(a, axis=axis, keepdims=True)
-    m = np.where(np.isfinite(m), m, 0.0)
-    return (m + np.log(np.sum(np.exp(a - m), axis=axis, keepdims=True))).squeeze(axis)
 
 
 def label_topics(

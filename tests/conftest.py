@@ -60,3 +60,36 @@ def toy_dictionary(toy_corpus):
 @pytest.fixture(scope="session")
 def toy_metadata(toy_corpus):
     return toy_corpus.metadata
+
+
+@pytest.fixture(scope="session")
+def ref_modules():
+    """Import the reference's own modules (read-only, with stubs for its
+    unavailable deps gensim/qpsolvers) for direct parity comparisons."""
+    import sys
+    import types
+
+    ref_src = "/root/reference/src"
+    if not os.path.isdir(ref_src):
+        pytest.skip("reference source not mounted")
+    for name, attrs in {
+        "gensim": {"utils": types.ModuleType("gensim.utils")},
+        "gensim.corpora": {},
+        "gensim.corpora.dictionary": {"Dictionary": object},
+        "qpsolvers": {"solve_qp": lambda *a, **k: None},
+    }.items():
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+    sys.modules["gensim"].corpora = sys.modules["gensim.corpora"]
+    sys.modules["gensim.corpora"].dictionary = sys.modules["gensim.corpora.dictionary"]
+
+    sys.path.insert(0, ref_src)
+    try:
+        from modules import heldout as ref_heldout  # noqa
+        from modules import stm as ref_stm  # noqa
+    finally:
+        sys.path.pop(0)
+    return ref_stm, ref_heldout

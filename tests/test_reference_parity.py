@@ -27,30 +27,8 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="module")
-def ref_modules():
-    # stub the reference's unavailable dependencies
-    for name, attrs in {
-        "gensim": {"utils": types.ModuleType("gensim.utils")},
-        "gensim.corpora": {},
-        "gensim.corpora.dictionary": {"Dictionary": object},
-        "qpsolvers": {"solve_qp": lambda *a, **k: None},
-    }.items():
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            for k, v in attrs.items():
-                setattr(mod, k, v)
-            sys.modules[name] = mod
-    sys.modules["gensim"].corpora = sys.modules["gensim.corpora"]
-    sys.modules["gensim.corpora"].dictionary = sys.modules["gensim.corpora.dictionary"]
-
-    sys.path.insert(0, REF_SRC)
-    try:
-        from modules import heldout as ref_heldout  # noqa
-        from modules import stm as ref_stm  # noqa
-    finally:
-        sys.path.pop(0)
-    return ref_stm, ref_heldout
+# ref_modules fixture lives in conftest.py (shared with
+# test_artifact_parity.py)
 
 
 def _ref_stm_instance(ref_stm, K=5, siginv=None, sigmaentropy=None):
