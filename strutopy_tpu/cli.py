@@ -72,6 +72,10 @@ def main(argv=None):
     p.add_argument("--model", choices=["STM", "CTM"], default="STM")
     p.add_argument("--mode", choices=["ols", "ridge", "lasso"], default="ols")
     p.add_argument("--max-em-iter", type=int, default=25)
+    p.add_argument("--beta-smoothing", type=float, default=0.0,
+                   help="pseudocount added to the phi stats before beta "
+                        "normalization (0 = reference semantics; unseen "
+                        "words then get beta=0 and heldout can be -inf)")
     p.add_argument("--out", type=str, required=True)
     p.add_argument("--checkpoint", type=str, default=None,
                    help="resumable EM checkpoint path (.npz)")
@@ -152,6 +156,7 @@ def main(argv=None):
             mesh=_mesh_from_args(args),
             checkpoint_path=args.checkpoint,
             resume=args.resume,
+            beta_smoothing=args.beta_smoothing,
         )
         print(f"final bound: {model.last_bounds[-1]:.2f}; artifacts in {args.out}")
 

@@ -27,6 +27,14 @@ class STMConfig:
     A: int = 1
     kappa_interactions: bool = False
     lda_beta: bool = True
+    # additive pseudocount on the phi sufficient statistics before the
+    # LDA-style row normalization.  0.0 (default) reproduces the
+    # reference's update_beta exactly (stm.py:739-745: bare
+    # row-normalize, so words unseen in training get beta=0 and any
+    # heldout occurrence scores -inf); a small value (e.g. 0.01..0.05)
+    # keeps every word representable — measured on the wiki completion
+    # heldout in RESULTS.md.
+    beta_smoothing: float = 0.0
     # prevalence regression
     model_type: str = "STM"  # "STM" | "CTM"
     mode: str = "ols"  # "ols" | "ridge" | "lasso"
@@ -77,6 +85,8 @@ class STMConfig:
             raise ValueError("sigma_prior must be in [0, 1]")
         if self.content and self.A < 2:
             raise ValueError("content=True requires A >= 2 aspects")
+        if self.beta_smoothing < 0.0:
+            raise ValueError("beta_smoothing must be >= 0")
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

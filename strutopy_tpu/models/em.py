@@ -217,7 +217,7 @@ def em_iteration(
     sigma = mstep.update_sigma(resid, stats.sigma_ss, design.n_docs, cfg.sigma_prior)
 
     if cfg.lda_beta:
-        beta = mstep.update_beta_lda(stats.beta_ss)
+        beta = mstep.update_beta_lda(stats.beta_ss, cfg.beta_smoothing)
         kappa = state.kappa
     else:
         beta, kappa = mstep.update_beta_content(

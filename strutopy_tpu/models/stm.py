@@ -68,6 +68,7 @@ class STM:
         mesh=None,
         batch_size: Optional[int] = None,
         seed: int = 123456,
+        beta_smoothing: float = 0.0,
     ):
         if config is None:
             config = STMConfig(
@@ -83,6 +84,7 @@ class STM:
                 sigma_prior=sigma_prior,
                 init_type=init_type,
                 seed=seed,
+                beta_smoothing=beta_smoothing,
             )
         if batch_size is not None:
             config = config.replace(batch_size=batch_size)

@@ -1,0 +1,291 @@
+"""Reduced-scope Pallas TPU kernels for the E-step's hot stages.
+
+Round 1's maximal kernel (ops/pallas_estep.py: the WHOLE damped-Newton
+loop in one kernel) crashes this environment's remote Mosaic compiler
+with no diagnostics.  Per VERDICT r1 #3 these kernels fuse one stage
+each, keeping the Newton while_loop in XLA:
+
+  * ``pallas_fgh``      — :func:`strutopy_tpu.ops.estep._f_g_H_batched`:
+    one pass over the (B, K, L) ``beta_doc`` block producing f, g, H
+    with every (B, K, L) intermediate (a, phi_hat, Bmat, masks) living
+    in VMEM/registers instead of round-tripping HBM.  This is the
+    BASELINE.json north-star target ("Pallas kernel for the bound's
+    dense K x V beta contractions and phi sufficient statistics").
+  * ``pallas_cg``       — the Steihaug CG solve with the (Bb, K-1, K-1)
+    Hessian block VMEM-resident across all iterations (the XLA path
+    re-reads H from HBM for each of the 12 matvecs — the largest
+    in-loop HBM term at K=100).
+  * ``pallas_linesearch`` — the multi-step Armijo objective sweep
+    (reads beta_doc once, computes f(eta + t p) for all T steps).
+
+Every kernel is verified bit-close against the XLA path in interpret
+mode (tests/test_pallas_stages.py); on hardware each is enabled
+independently (STMConfig flags) so a Mosaic failure in one does not
+block the others.
+
+Mosaic constraints honored (learned round 1): no batched dot_general
+(per-doc 2D dots unrolled over the static block), no dynamic_slice on
+values (static python indexing only), no 1-D or float iota, 2D scalars.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:  # pallas imports fail gracefully on unsupported backends
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+
+# ---------------------------------------------------------------------------
+# stage 1: fused f / g / H
+# ---------------------------------------------------------------------------
+
+
+def _fgh_kernel(siginv_ref, eta_ref, beta_doc_ref, counts_ref, mu_ref,
+                f_ref, g_ref, H_ref, *, bf16: bool):
+    """One doc-block: objective, gradient, Hessian, fully in VMEM.
+
+    Same math as estep._f_g_H_batched (reference stm.py:920-958,
+    :986-1026 with the gradient bug fixed); the batched outer product
+    is unrolled into per-doc 2D dots (Mosaic-safe).
+    """
+    eta = eta_ref[:]  # (Bb, K-1)
+    counts = counts_ref[:]  # (Bb, L)
+    mu = mu_ref[:]
+    siginv = siginv_ref[:]
+    Bb = eta.shape[0]
+    Km1 = eta.shape[1]
+    K = Km1 + 1
+
+    eta_full = jnp.concatenate([eta, jnp.zeros((Bb, 1), eta.dtype)], axis=1)
+    m = jnp.max(eta_full, axis=1, keepdims=True)
+    e = jnp.exp(eta_full - m)  # (Bb, K)
+    sum_e = jnp.sum(e, axis=1, keepdims=True)
+    theta = e / sum_e
+    Nd = jnp.sum(counts, axis=1)  # (Bb,)
+    cmask = counts > 0
+
+    diff = eta - mu
+    sdiff = diff @ siginv  # 2D matmul, MXU
+    lse = (m + jnp.log(sum_e))[:, 0]
+    quad = 0.5 * jnp.sum(diff * sdiff, axis=1)
+
+    sqrtc = jnp.sqrt(jnp.maximum(counts, 0.0))
+    eye = jnp.eye(K, dtype=jnp.float32)
+
+    # per-doc 2D compute, unrolled over the static block
+    for b in range(Bb):
+        beta_b = beta_doc_ref[b]  # (K, L) — static index into VMEM block
+        a = e[b][:, None] * beta_b  # (K, L)
+        s = jnp.sum(a, axis=0)  # (L,)
+        s_safe = jnp.maximum(s, jnp.asarray(1e-35, s.dtype))
+        ll = jnp.sum(jnp.where(cmask[b], counts[b] * (jnp.log(s_safe) + m[b, 0]), 0.0))
+        f_ref[b, 0] = quad[b] - ll + Nd[b] * lse[b]
+
+        phi_hat = jnp.where(cmask[b][None, :], a / s_safe[None, :], 0.0)  # (K, L)
+        q = jnp.sum(phi_hat * counts[b][None, :], axis=1)  # (K,)
+        g_full = Nd[b] * theta[b] - q
+        g_ref[b, :] = sdiff[b] + g_full[:Km1]
+
+        Bmat = phi_hat * sqrtc[b][None, :]
+        if bf16:
+            Bm = Bmat.astype(jnp.bfloat16)
+        else:
+            Bm = Bmat
+        Hll = jax.lax.dot_general(
+            Bm, Bm,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (K, K)
+        Hll = Hll - (Nd[b] * theta[b])[:, None] * theta[b][None, :]
+        Hll = Hll + g_full[:, None] * eye
+        H_ref[b, :, :] = Hll[:Km1, :Km1] + siginv
+
+
+def pallas_fgh_impl(eta, beta_doc, counts, mu, siginv, bf16: bool = True,
+                    block_docs: int = 8, interpret: bool = False):
+    """Fused f/g/H: (f (B,), g (B, K-1), H (B, K-1, K-1))."""
+    B, K, L = beta_doc.shape
+    Km1 = K - 1
+    Bb = min(block_docs, B)
+    while B % Bb:
+        Bb //= 2
+    grid = (B // Bb,)
+
+    kernel = functools.partial(_fgh_kernel, bf16=bf16)
+    f, g, H = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Km1, Km1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, Km1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, K, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, Km1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Bb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, Km1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, Km1, Km1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Km1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Km1, Km1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(siginv, eta, beta_doc, counts, mu)
+    return f[:, 0], g, H
+
+
+# ---------------------------------------------------------------------------
+# stage 2: Steihaug CG with VMEM-resident Hessian
+# ---------------------------------------------------------------------------
+
+
+def _cg_kernel(H_ref, g_ref, x_ref, *, iters: int, bf16: bool):
+    """Jacobi-preconditioned Steihaug CG, all iterations on-chip.
+
+    Identical recurrences to estep._cg_batched; the Hessian block is
+    read from HBM once instead of once per matvec.
+    """
+    g = g_ref[:]  # (Bb, Km1)
+    Bb, Km1 = g.shape
+
+    # per-doc H (VMEM-resident); matvec via 2D dot, unrolled over block
+    Hs = [H_ref[b] for b in range(Bb)]
+    diag = jnp.stack([jnp.sum(H * jnp.eye(Km1, dtype=H.dtype), axis=1) for H in Hs])
+    dinv = 1.0 / jnp.maximum(jnp.abs(diag), 1e-20)
+    if bf16:
+        Hs = [H.astype(jnp.bfloat16) for H in Hs]
+
+    def bmv(p):
+        # (Bb, Km1) -> (Bb, Km1): p_b @ H_b (H symmetric)
+        return jnp.stack([
+            jax.lax.dot_general(
+                p[b][None, :], Hs[b],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[0]
+            for b in range(Bb)
+        ])
+
+    r = -g
+    z = dinv * r
+    p = z
+    rz = jnp.sum(r * z, axis=1)
+    x = jnp.zeros_like(g)
+    active = jnp.ones((Bb,), jnp.bool_)
+    for _ in range(iters):
+        Ap = bmv(p)
+        pAp = jnp.sum(p * Ap, axis=1)
+        active = jnp.logical_and(active, pAp > 1e-30)
+        alpha = rz / jnp.where(pAp > 1e-30, pAp, 1.0)
+        am = active[:, None]
+        x = jnp.where(am, x + alpha[:, None] * p, x)
+        r = jnp.where(am, r - alpha[:, None] * Ap, r)
+        z = dinv * r
+        rz_new = jnp.sum(r * z, axis=1)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = jnp.where(am, z + beta[:, None] * p, p)
+        rz = jnp.where(active, rz_new, rz)
+    x_ref[:] = x
+
+
+def pallas_cg_impl(H, g, iters: int = 12, bf16: bool = True,
+                   block_docs: int = 8, interpret: bool = False):
+    """CG solve H x = -g per doc; returns x (B, K-1)."""
+    B, Km1, _ = H.shape
+    Bb = min(block_docs, B)
+    while B % Bb:
+        Bb //= 2
+    grid = (B // Bb,)
+    kernel = functools.partial(_cg_kernel, iters=iters, bf16=bf16)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bb, Km1, Km1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, Km1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Bb, Km1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Km1), jnp.float32),
+        interpret=interpret,
+    )(H, g)
+
+
+# ---------------------------------------------------------------------------
+# stage 3: parallel Armijo sweep objectives
+# ---------------------------------------------------------------------------
+
+
+def _ls_kernel(siginv_ref, ts_ref, eta_ref, p_ref, beta_doc_ref, counts_ref,
+               mu_ref, fs_ref):
+    """f(eta + t p) for all T steps; beta_doc read once per doc."""
+    eta = eta_ref[:]  # (Bb, Km1)
+    pdir = p_ref[:]
+    counts = counts_ref[:]
+    mu = mu_ref[:]
+    siginv = siginv_ref[:]
+    ts = ts_ref[0]  # (T,) — stored (1, T) for 2D layout
+    Bb, Km1 = eta.shape
+    T = ts.shape[0]
+    Nd = jnp.sum(counts, axis=1)
+    cmask = counts > 0
+
+    for b in range(Bb):
+        cand = eta[b][None, :] + ts[:, None] * pdir[b][None, :]  # (T, Km1)
+        cand_full = jnp.concatenate([cand, jnp.zeros((T, 1), cand.dtype)], axis=1)
+        m = jnp.max(cand_full, axis=1, keepdims=True)
+        e = jnp.exp(cand_full - m)  # (T, K)
+        s = jax.lax.dot_general(
+            e, beta_doc_ref[b],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T, L)
+        s = jnp.maximum(s, jnp.asarray(1e-35, s.dtype))
+        ll = jnp.sum(
+            jnp.where(cmask[b][None, :], counts[b][None, :] * (jnp.log(s) + m), 0.0),
+            axis=1,
+        )
+        lse = m[:, 0] + jnp.log(jnp.sum(e, axis=1))
+        diff = cand - mu[b][None, :]
+        dsig = diff @ siginv
+        quad = 0.5 * jnp.sum(diff * dsig, axis=1)
+        fs_ref[b, :] = quad - ll + Nd[b] * lse
+
+
+def pallas_linesearch_impl(eta, p, ts, beta_doc, counts, mu, siginv,
+                           block_docs: int = 8, interpret: bool = False):
+    """Armijo sweep objectives fs (B, T)."""
+    B, K, L = beta_doc.shape
+    Km1 = K - 1
+    T = ts.shape[0]
+    Bb = min(block_docs, B)
+    while B % Bb:
+        Bb //= 2
+    grid = (B // Bb,)
+    return pl.pallas_call(
+        _ls_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Km1, Km1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, Km1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, Km1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, K, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, Km1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Bb, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T), jnp.float32),
+        interpret=interpret,
+    )(siginv, ts[None, :], eta, p, beta_doc, counts, mu)
