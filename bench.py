@@ -31,7 +31,7 @@ K = 100
 V = 10_000
 N = 8_192
 N_WORDS = 300  # tokens per doc (~150 unique terms)
-BASELINE_DOCS = 96
+BASELINE_DOCS = 512  # ~13 s/repeat serial scipy; 3 repeats recorded
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
 
 
@@ -117,13 +117,18 @@ def measure_baseline(docs, X):
     beta_ss, sigma_ss, _, eta, _ = e_step(sub, beta, mu, eta, sigma)
     beta, mu, sigma = m_step_ctm_lda(beta_ss, sigma_ss, eta, n)
 
-    t0 = time.time()
-    e_step(sub, beta, mu, eta, sigma)
-    dt = time.time() - t0
-    dps = n / dt
+    # best of 3 repeats (favoring the baseline) on a 512-doc sample —
+    # the round-1 ratio rested on one cached 96-doc / 2.5 s timing
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        e_step(sub, beta, mu, eta, sigma)
+        times.append(time.time() - t0)
+    dps = n / min(times)
     with open(BASELINE_PATH, "w") as f:
         json.dump({"config": [K, V, N_WORDS], "docs_per_sec": dps,
-                   "measured_docs": n, "seconds": dt}, f, indent=2)
+                   "measured_docs": n, "seconds_per_repeat": times},
+                  f, indent=2)
     return dps
 
 

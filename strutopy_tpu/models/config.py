@@ -61,7 +61,13 @@ class STMConfig:
     newton_fixed_iters: bool = False  # run exactly max_iters (fori_loop)
     # execution
     batch_size: int = 256  # docs per E-step scan chunk (per device; smaller chunks reduce Newton convergence coupling — B=128-256 measured fastest at K=100)
-    use_pallas: bool = False  # fused Pallas E-step kernel (TPU only)
+    use_pallas: bool = False  # round-1 whole-Newton-loop kernel (TPU only)
+    # reduced-scope Pallas stage kernels (ops/pallas_stages.py); each
+    # toggles independently so one Mosaic failure doesn't block the rest
+    pallas_fgh: bool = False
+    pallas_cg: bool = False
+    pallas_ls: bool = False
+    pallas_block: int = 8
     debug_checks: bool = False  # host-side numerical sanitizers per EM iter
     # length bucketing: run the E-step per document-length class at its
     # own (static) padded L instead of the global max

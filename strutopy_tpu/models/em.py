@@ -67,6 +67,10 @@ def _newton_cfg(cfg: STMConfig) -> NewtonConfig:
         cg_iters=cfg.newton_cg_iters,
         bf16_hessian=cfg.newton_bf16_hessian,
         fixed_iters=cfg.newton_fixed_iters,
+        pallas_fgh=cfg.pallas_fgh,
+        pallas_cg=cfg.pallas_cg,
+        pallas_ls=cfg.pallas_ls,
+        pallas_block=cfg.pallas_block,
     )
 
 

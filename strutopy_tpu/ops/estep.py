@@ -71,6 +71,14 @@ class NewtonConfig(NamedTuple):
     # early-exit while_loop (simpler control flow for kernel compilers;
     # converged lanes are frozen by the done mask either way)
     fixed_iters: bool = False
+    # reduced-scope Pallas stage kernels (ops/pallas_stages.py): each
+    # fuses one Newton stage, keeping the while_loop in XLA.  Verified
+    # to compile on the v5e Mosaic toolchain individually (the round-1
+    # whole-loop kernel did not).
+    pallas_fgh: bool = False  # fused f/g/H over the (B, K, L) block
+    pallas_cg: bool = False  # CG with VMEM-resident Hessian
+    pallas_ls: bool = False  # fused Armijo sweep objectives
+    pallas_block: int = 8  # docs per kernel program
 
 
 class EStepResult(NamedTuple):
@@ -268,24 +276,48 @@ def _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg: NewtonConfig):
 
     def body(st):
         eta, it, done, n_iters = st
-        f, g, H, _, _ = _f_g_H_batched(
-            eta, beta_doc, counts, mu, siginv, Nd, cfg.bf16_hessian,
-            cfg.mosaic_safe,
-        )
+        if cfg.pallas_fgh:
+            from strutopy_tpu.ops.pallas_stages import pallas_fgh_impl
+
+            f, g, H = pallas_fgh_impl(
+                eta, beta_doc, counts, mu, siginv,
+                bf16=cfg.bf16_hessian, block_docs=cfg.pallas_block,
+            )
+        else:
+            f, g, H, _, _ = _f_g_H_batched(
+                eta, beta_doc, counts, mu, siginv, Nd, cfg.bf16_hessian,
+                cfg.mosaic_safe,
+            )
         conv = jnp.max(jnp.abs(g), axis=1) <= cfg.grad_tol
 
-        p = _cg_batched(
-            H, g, cg_iters, bf16=cfg.bf16_hessian, mosaic_safe=cfg.mosaic_safe
-        )
+        if cfg.pallas_cg:
+            from strutopy_tpu.ops.pallas_stages import pallas_cg_impl
+
+            p = pallas_cg_impl(
+                H, g, iters=cg_iters, bf16=cfg.bf16_hessian,
+                block_docs=cfg.pallas_block,
+            )
+        else:
+            p = _cg_batched(
+                H, g, cg_iters, bf16=cfg.bf16_hessian, mosaic_safe=cfg.mosaic_safe
+            )
         gTp = jnp.sum(g * p, axis=1)
         bad = gTp >= 0
         p = jnp.where(bad[:, None], -g, p)
         gTp = jnp.where(bad, -jnp.sum(g * g, axis=1), gTp)
 
         # parallel Armijo sweep: first (largest) acceptable step size
-        fs = _f_multi(
-            eta, p, ts, beta_doc, counts, mu, siginv, Nd, cfg.mosaic_safe
-        )  # (B, T)
+        if cfg.pallas_ls:
+            from strutopy_tpu.ops.pallas_stages import pallas_linesearch_impl
+
+            fs = pallas_linesearch_impl(
+                eta, p, ts, beta_doc, counts, mu, siginv,
+                block_docs=cfg.pallas_block,
+            )
+        else:
+            fs = _f_multi(
+                eta, p, ts, beta_doc, counts, mu, siginv, Nd, cfg.mosaic_safe
+            )  # (B, T)
         ok = fs <= f[:, None] + 1e-4 * ts[None, :] * gTp[:, None]
         any_ok = jnp.any(ok, axis=1)
         # ts is descending, so the first acceptable step is the largest:

@@ -81,19 +81,22 @@ def _fgh_kernel(siginv_ref, eta_ref, beta_doc_ref, counts_ref, mu_ref,
     sqrtc = jnp.sqrt(jnp.maximum(counts, 0.0))
     eye = jnp.eye(K, dtype=jnp.float32)
 
-    # per-doc 2D compute, unrolled over the static block
+    # per-doc 2D compute, unrolled over the static block; results are
+    # collected and stored once per ref (Mosaic rejects scalar stores)
+    lls, gs, Hs = [], [], []
     for b in range(Bb):
         beta_b = beta_doc_ref[b]  # (K, L) — static index into VMEM block
         a = e[b][:, None] * beta_b  # (K, L)
         s = jnp.sum(a, axis=0)  # (L,)
         s_safe = jnp.maximum(s, jnp.asarray(1e-35, s.dtype))
-        ll = jnp.sum(jnp.where(cmask[b], counts[b] * (jnp.log(s_safe) + m[b, 0]), 0.0))
-        f_ref[b, 0] = quad[b] - ll + Nd[b] * lse[b]
+        lls.append(
+            jnp.sum(jnp.where(cmask[b], counts[b] * (jnp.log(s_safe) + m[b, 0]), 0.0))
+        )
 
         phi_hat = jnp.where(cmask[b][None, :], a / s_safe[None, :], 0.0)  # (K, L)
         q = jnp.sum(phi_hat * counts[b][None, :], axis=1)  # (K,)
         g_full = Nd[b] * theta[b] - q
-        g_ref[b, :] = sdiff[b] + g_full[:Km1]
+        gs.append(sdiff[b] + g_full[:Km1])
 
         Bmat = phi_hat * sqrtc[b][None, :]
         if bf16:
@@ -107,12 +110,27 @@ def _fgh_kernel(siginv_ref, eta_ref, beta_doc_ref, counts_ref, mu_ref,
         )  # (K, K)
         Hll = Hll - (Nd[b] * theta[b])[:, None] * theta[b][None, :]
         Hll = Hll + g_full[:, None] * eye
-        H_ref[b, :, :] = Hll[:Km1, :Km1] + siginv
+        Hs.append(Hll[:Km1, :Km1] + siginv)
+
+    f_ref[:] = (quad - jnp.stack(lls) + Nd * lse)[:, None]
+    g_ref[:] = jnp.stack(gs)
+    H_ref[:] = jnp.stack(Hs)
+
+
+def _auto_interpret(interpret):
+    """interpret=None -> interpreter mode off-TPU (tests on the virtual
+    CPU mesh), compiled Mosaic on TPU."""
+    if interpret is None:
+        import jax
+
+        return jax.default_backend() != "tpu"
+    return interpret
 
 
 def pallas_fgh_impl(eta, beta_doc, counts, mu, siginv, bf16: bool = True,
-                    block_docs: int = 8, interpret: bool = False):
+                    block_docs: int = 8, interpret=None):
     """Fused f/g/H: (f (B,), g (B, K-1), H (B, K-1, K-1))."""
+    interpret = _auto_interpret(interpret)
     B, K, L = beta_doc.shape
     Km1 = K - 1
     Bb = min(block_docs, B)
@@ -201,8 +219,9 @@ def _cg_kernel(H_ref, g_ref, x_ref, *, iters: int, bf16: bool):
 
 
 def pallas_cg_impl(H, g, iters: int = 12, bf16: bool = True,
-                   block_docs: int = 8, interpret: bool = False):
+                   block_docs: int = 8, interpret=None):
     """CG solve H x = -g per doc; returns x (B, K-1)."""
+    interpret = _auto_interpret(interpret)
     B, Km1, _ = H.shape
     Bb = min(block_docs, B)
     while B % Bb:
@@ -264,8 +283,9 @@ def _ls_kernel(siginv_ref, ts_ref, eta_ref, p_ref, beta_doc_ref, counts_ref,
 
 
 def pallas_linesearch_impl(eta, p, ts, beta_doc, counts, mu, siginv,
-                           block_docs: int = 8, interpret: bool = False):
+                           block_docs: int = 8, interpret=None):
     """Armijo sweep objectives fs (B, T)."""
+    interpret = _auto_interpret(interpret)
     B, K, L = beta_doc.shape
     Km1 = K - 1
     T = ts.shape[0]
