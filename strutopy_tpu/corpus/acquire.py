@@ -74,15 +74,129 @@ def corpus_from_csv(
     return bow, vocab, labels
 
 
-def get_wiki_docs(*args, **kwargs):
-    """The reference's scraper entry point (src/01_get_wiki_docs.py).
+def _mediawiki_api(params: dict, fetch=None) -> dict:
+    """One MediaWiki Action API call (en.wikipedia.org).
 
-    Requires network access to wikipedia.org, which this environment
-    does not have; use :func:`corpus_from_csv` on a pre-downloaded
-    ``wiki_corpus.csv`` instead.
+    ``fetch(url) -> bytes`` is injectable for tests / offline use;
+    the default uses urllib (stdlib, no extra deps).
     """
-    raise RuntimeError(
-        "get_wiki_docs needs network access to wikipedia.org; this "
-        "environment has no egress. Load a pre-scraped CSV with "
-        "corpus_from_csv(path) instead."
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    base = "https://en.wikipedia.org/w/api.php"
+    q = dict(params, format="json", formatversion="2")
+    url = base + "?" + urllib.parse.urlencode(q)
+    if fetch is None:
+        def fetch(u):
+            req = urllib.request.Request(
+                u, headers={"User-Agent": "strutopy_tpu/0.2 (research)"}
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return r.read()
+
+    return _json.loads(fetch(url))
+
+
+def _page_links(title: str, fetch=None):
+    """All outgoing links of a page (follows plcontinue pagination)."""
+    links, cont = [], {}
+    while True:
+        resp = _mediawiki_api(
+            {"action": "query", "prop": "links", "titles": title,
+             "pllimit": "max", **cont},
+            fetch,
+        )
+        for page in resp.get("query", {}).get("pages", []):
+            links.extend(l["title"] for l in page.get("links", []))
+        cont = resp.get("continue")
+        if not cont:
+            return links
+        cont = {k: v for k, v in cont.items() if k != "continue"}
+
+
+def _page_summary(title: str, fetch=None):
+    """(pageid, title, summary-extract) for one page; None if missing."""
+    resp = _mediawiki_api(
+        {"action": "query", "prop": "extracts", "exintro": "1",
+         "explaintext": "1", "redirects": "1", "titles": title},
+        fetch,
     )
+    for page in resp.get("query", {}).get("pages", []):
+        if page.get("missing") or "extract" not in page:
+            return None
+        return page["pageid"], page["title"], page["extract"]
+    return None
+
+
+def get_wiki_docs(
+    output_dir: str = "artifacts/wiki_data",
+    seed_pages: Sequence[str] = ("Statistics", "Machine learning"),
+    exclude_prefixes: Sequence[str] = (
+        "List of", "Lists of", "Glossary of", "ISBN", "ISSN", "ArXiv",
+        "CiteSeerX", "OCLC", "S2CID", "PMC", "PMID", "Doi",
+    ),
+    max_pages_per_seed: int = 0,
+    fetch=None,
+):
+    """Scrape the reference's wiki corpus (src/01_get_wiki_docs.py:10-184).
+
+    For each seed page, fetch its outgoing links, drop non-content
+    pages (the reference hand-lists ~100 titles; here identifier/list/
+    glossary pages are excluded by prefix), pull each linked page's
+    intro summary, label it with one indicator column per seed, give
+    pages reachable from several seeds all their labels (reference's
+    duplicate-pageid handling, :171-173), and write ``wiki_corpus.csv``
+    with the reference's exact columns (pageid, text, title, <labels>).
+
+    Uses the MediaWiki Action API over stdlib urllib (the reference
+    shells through the `wikipedia` package).  Pass ``fetch(url)->bytes``
+    to stub the network (tests) or to add caching/throttling.
+    ``max_pages_per_seed`` > 0 truncates each seed's link list (smoke
+    runs).  Returns the list of (pageid, text, title, labels...) rows.
+    """
+    import os
+
+    label_names = [s.split()[0].lower() for s in seed_pages]
+    by_pageid = {}
+    errors = []
+    for si, seed in enumerate(seed_pages):
+        links = _page_links(seed, fetch)
+        links = [
+            l for l in links
+            if not any(l.startswith(p) for p in exclude_prefixes)
+        ]
+        if max_pages_per_seed:
+            links = links[:max_pages_per_seed]
+        for link in links:
+            try:
+                got = _page_summary(link, fetch)
+            except Exception:
+                got = None
+            if got is None:
+                errors.append(link)
+                continue
+            pageid, title, text = got
+            row = by_pageid.setdefault(
+                pageid,
+                {"pageid": pageid, "text": text, "title": title,
+                 **{n: 0 for n in label_names}},
+            )
+            row[label_names[si]] = 1  # multi-seed pages keep all labels
+
+    rows = list(by_pageid.values())
+    os.makedirs(output_dir, exist_ok=True)
+    out_path = os.path.join(output_dir, "wiki_corpus.csv")
+    cols = ["pageid", "text", "title"] + label_names
+    with open(out_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow([""] + cols)  # reference CSV keeps the index column
+        for i, r in enumerate(rows):
+            w.writerow([i] + [r[c] for c in cols])
+    if errors:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "get_wiki_docs: %d links failed/missing", len(errors)
+        )
+    return rows

@@ -71,6 +71,7 @@ def _newton_cfg(cfg: STMConfig) -> NewtonConfig:
         pallas_cg=cfg.pallas_cg,
         pallas_ls=cfg.pallas_ls,
         pallas_block=cfg.pallas_block,
+        bf16_beta=cfg.newton_bf16_beta,
     )
 
 

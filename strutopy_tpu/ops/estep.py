@@ -60,7 +60,7 @@ class NewtonConfig(NamedTuple):
     max_iters: int = 24
     grad_tol: float = 1e-5
     max_backtracks: int = 12
-    cg_iters: int = 12  # inner CG steps (capped at K-1 internally)
+    cg_iters: int = 6  # inner CG steps (capped at K-1 internally)
     bf16_hessian: bool = True  # bf16 MXU matmuls for the *in-loop* Hessian
     # Mosaic (Pallas TPU) cannot lower dot_general with batch dimensions;
     # this flag swaps the three batched contractions for per-doc 2D dots
@@ -79,6 +79,12 @@ class NewtonConfig(NamedTuple):
     pallas_cg: bool = False  # CG with VMEM-resident Hessian
     pallas_ls: bool = False  # fused Armijo sweep objectives
     pallas_block: int = 8  # docs per kernel program
+    # store the Newton loop's beta_doc operand in bfloat16: halves the
+    # dominant in-loop HBM read ((B, K, L) per f/g/H call and per Armijo
+    # sweep).  Only the SEARCH PATH sees the rounded values; the
+    # finalize pass (bound, phi, nu) always re-reads beta_doc in f32,
+    # preserving the model-quantity precision split (CLAUDE.md).
+    bf16_beta: bool = False
 
 
 class EStepResult(NamedTuple):
@@ -530,7 +536,10 @@ def run_estep(
                 block_docs=max(pb, 1),
             )
         else:
-            eta, iters = _batched_newton(beta_doc, c, mu_c, eta_c, siginv, cfg)
+            bd_loop = (
+                beta_doc.astype(jnp.bfloat16) if cfg.bf16_beta else beta_doc
+            )
+            eta, iters = _batched_newton(bd_loop, c, mu_c, eta_c, siginv, cfg)
         theta, nu, bound_d, phi = _finalize_chunk(
             eta, beta_doc, c, mu_c, doc_w, siginv, sigmaentropy, Nd
         )

@@ -28,6 +28,16 @@ diagnostics) on the full Newton-loop kernel, for both bf16 and f32
 variants and block sizes 8-64.  The XLA path (23.9k docs/s at K=100 on
 v5e, 621x the scipy baseline) remains the default; this kernel is the
 starting point for a future Mosaic-toolchain retry.
+
+STATUS (round 2): retried 2026-08-16 — the whole-loop kernel STILL
+crashes the remote compile helper identically (HTTP 500, exit 1, for
+fixed_iters both on and off, blocks 8-32), while the three
+reduced-scope stage kernels in ops/pallas_stages.py (f/g/H, CG,
+line-search — the same math split at the Newton-stage boundaries) all
+compile and run on the same toolchain.  The crash is therefore
+specific to the combined loop body size/structure, not to any single
+documented constraint.  Minimal repro: STMConfig(use_pallas=True) on
+any fit, or tests/test_pallas.py with interpret=False on a TPU.
 """
 
 from __future__ import annotations

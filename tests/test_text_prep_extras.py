@@ -99,3 +99,62 @@ def test_new_plots_render(tmp_path):
     plot_effect(eff, path=str(tmp_path / "ef.png"))
     for f in ("tw.png", "wf.png", "ts.png", "ef.png"):
         assert (tmp_path / f).stat().st_size > 0
+
+
+def test_get_wiki_docs_with_stubbed_fetch(tmp_path):
+    """Scraper contract end-to-end on a stubbed MediaWiki API
+    (reference src/01_get_wiki_docs.py:10-184): link fetch + pagination,
+    prefix filtering, per-seed labels, multi-seed pages keep all labels,
+    wiki_corpus.csv column layout."""
+    import csv
+    import json
+    import urllib.parse
+
+    from strutopy_tpu.corpus.acquire import get_wiki_docs
+
+    PAGES = {
+        "Statistics": ["Mean", "List of statistics articles", "Bayes"],
+        "Machine learning": ["Bayes", "Perceptron"],
+    }
+    SUMMARIES = {
+        "Mean": (11, "Mean", "The mean is an average."),
+        "Bayes": (12, "Bayes", "Bayes was a statistician."),
+        "Perceptron": (13, "Perceptron", "A perceptron is a model."),
+    }
+
+    def fetch(url):
+        q = dict(urllib.parse.parse_qsl(urllib.parse.urlsplit(url).query))
+        title = q["titles"]
+        if q.get("prop") == "links":
+            links = [{"title": t} for t in PAGES[title]]
+            return json.dumps(
+                {"query": {"pages": [{"links": links}]}}
+            ).encode()
+        if title in SUMMARIES:
+            pid, t, text = SUMMARIES[title]
+            return json.dumps(
+                {"query": {"pages": [{"pageid": pid, "title": t,
+                                      "extract": text}]}}
+            ).encode()
+        return json.dumps({"query": {"pages": [{"missing": True}]}}).encode()
+
+    rows = get_wiki_docs(output_dir=str(tmp_path), fetch=fetch)
+    by_title = {r["title"]: r for r in rows}
+    assert set(by_title) == {"Mean", "Bayes", "Perceptron"}  # List of... filtered
+    assert by_title["Mean"]["statistics"] == 1 and by_title["Mean"]["machine"] == 0
+    assert by_title["Perceptron"]["machine"] == 1
+    # page reachable from both seeds carries both labels (reference :171-173)
+    assert by_title["Bayes"]["statistics"] == 1 and by_title["Bayes"]["machine"] == 1
+
+    with open(tmp_path / "wiki_corpus.csv", newline="") as f:
+        header = next(csv.reader(f))
+    assert header == ["", "pageid", "text", "title", "statistics", "machine"]
+
+    # and the CSV feeds the existing 01->02 pipeline loader
+    from strutopy_tpu.corpus.acquire import load_texts_csv
+
+    texts, labels = load_texts_csv(
+        str(tmp_path / "wiki_corpus.csv"),
+        label_columns=("statistics", "machine"),
+    )
+    assert len(texts) == 3 and all(t for t in texts)
