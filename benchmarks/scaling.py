@@ -52,7 +52,10 @@ def measure(K, V, N=4096, n_words=300, batch=256):
 
     docs, X = corpus(K, V, N, n_words)
     pc = pad_corpus(docs, V=V)
-    cfg = STMConfig(K=K, model_type="STM", init_type="random", batch_size=batch)
+    # large K: VMEM-resident-Hessian CG kernel (ops/pallas_stages.py)
+    # measured +14% at K=200 with a bit-identical bound
+    cfg = STMConfig(K=K, model_type="STM", init_type="random", batch_size=batch,
+                    pallas_cg=K > 150, pallas_block=32)
     D_np, design = mstep.make_prevalence_design(X, pc.doc_ok)
     data = CorpusData.single(
         words=jnp.asarray(pc.words),

@@ -70,6 +70,9 @@ class STMConfig:
     pallas_block: int = 8
     # bf16 beta_doc for the Newton search path (finalize stays f32)
     newton_bf16_beta: bool = False
+    # nu inverse strategy: "chol" (exact, reference semantics) or "ns"
+    # (Newton-Schulz, MXU-only, ~1e-3 sigma_ss error, faster at large K)
+    nu_method: str = "chol"
     debug_checks: bool = False  # host-side numerical sanitizers per EM iter
     # length bucketing: run the E-step per document-length class at its
     # own (static) padded L instead of the global max
@@ -95,6 +98,8 @@ class STMConfig:
             raise ValueError("content=True requires A >= 2 aspects")
         if self.beta_smoothing < 0.0:
             raise ValueError("beta_smoothing must be >= 0")
+        if self.nu_method not in ("chol", "ns"):
+            raise ValueError(f"nu_method must be chol or ns, got {self.nu_method}")
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

