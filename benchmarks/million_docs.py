@@ -21,6 +21,7 @@ Writes benchmarks/results_1m.json.
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/strutopy_jax_cache")
@@ -29,6 +30,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 N, K, V, N_WORDS = 1_000_000, 100, 50_000, 300
+if len(sys.argv) > 1:
+    N = int(sys.argv[1])
 GEN_CHUNK = 5_000  # docs per on-device sampling step ((chunk, V) probs = 1 GB)
 ITERS = 4
 if "__file__" in globals() and "<" not in str(__file__):
@@ -82,7 +85,13 @@ def main():
     doc_ok = jnp.ones((N,), bool)
     X = rng.integers(0, 2, N).astype(np.float64)
 
-    cfg = STMConfig(K=K, model_type="STM", init_type="random", batch_size=250)
+    # sort_by_difficulty off: its permuted corpus copies (words_b[perm],
+    # counts_b[perm]) double the 2.4 GB corpus footprint — at N=1M that
+    # crowds the 16 GB HBM the tunnel worker shares
+    cfg = STMConfig(
+        K=K, model_type="STM", init_type="random", batch_size=250,
+        sort_by_difficulty=False,
+    )
     D_np, design = mstep.make_prevalence_design(X, np.ones(N, bool))
     data = CorpusData.single(
         words=words,
@@ -95,7 +104,15 @@ def main():
     # corpus-wide word counts on device (content model unused here, but
     # make_em_step takes them)
     wcounts = np.zeros(V)  # host-side approximation not needed for LDA beta
-    em = make_em_step(cfg, design, None, wcounts)
+    from strutopy_tpu.models.em import em_iteration
+
+    # donate the old state each step (frees ~1.2 GB of per-doc arrays
+    # in place instead of double-buffering them)
+    em = jax.jit(
+        lambda s, d: em_iteration(s, d, design, None, wcounts, cfg,
+                                  psum=lambda x: x),
+        donate_argnums=0,
+    )
 
     times, bounds = [], []
     for it in range(ITERS):

@@ -84,7 +84,8 @@ def _bucket_offsets(data: CorpusData):
 
 
 def local_estep_stats(state: STMState, data: CorpusData, cfg: STMConfig,
-                      bucket_batches: Optional[Tuple[int, ...]] = None):
+                      bucket_batches: Optional[Tuple[int, ...]] = None,
+                      vocab_axis: Optional[str] = None):
     """E-step over all buckets on the local shard.
 
     Returns (stats to psum, eta, theta, newton_iters) with the
@@ -146,6 +147,7 @@ def local_estep_stats(state: STMState, data: CorpusData, cfg: STMConfig,
             cfg=ncfg,
             batch_size=B_b,
             use_pallas=cfg.use_pallas,
+            vocab_axis=vocab_axis,
         )
         eta_out, theta_out, iters_out = res.eta, res.theta, res.newton_iters
         if sort:
@@ -187,9 +189,14 @@ def em_iteration(
     cfg: STMConfig,
     psum,
     bucket_batches: Optional[Tuple[int, ...]] = None,
+    vocab_axis: Optional[str] = None,
 ):
     """One full EM iteration; ``psum`` reduces per-shard statistics
-    (identity on a single device, ``lax.psum`` under shard_map).
+    (identity on a single device, ``lax.psum`` under shard_map —
+    over the DOC axis only: with ``vocab_axis`` set, beta/beta_ss stay
+    vocab-sharded and the per-doc quantities are replicated across
+    vocab shards by the beta_doc gather-psum, so doc-axis reduction
+    already yields full totals on every device).
 
     The sigma residual moment (eta - mu)^T (eta - mu) is computed on the
     local shard *after* mu is materialized from the new gamma — the
@@ -198,7 +205,7 @@ def em_iteration(
     already-psummed stats.
     """
     stats, eta, theta, newton_iters = local_estep_stats(
-        state, data, cfg, bucket_batches
+        state, data, cfg, bucket_batches, vocab_axis
     )
     stats = GlobalStats(*psum(tuple(stats)))
 
@@ -223,7 +230,10 @@ def em_iteration(
     sigma = mstep.update_sigma(resid, stats.sigma_ss, design.n_docs, cfg.sigma_prior)
 
     if cfg.lda_beta:
-        beta = mstep.update_beta_lda(stats.beta_ss, cfg.beta_smoothing)
+        row_psum = (
+            (lambda x: jax.lax.psum(x, vocab_axis)) if vocab_axis else None
+        )
+        beta = mstep.update_beta_lda(stats.beta_ss, cfg.beta_smoothing, row_psum)
         kappa = state.kappa
     else:
         beta, kappa = mstep.update_beta_content(

@@ -480,16 +480,51 @@ def _f_g_H(eta, beta_doc, counts, mu, siginv, Nd, bf16: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _gather_beta(beta, words, aspects):
-    """Gather per-doc topic-word slices -> (B, K, L)."""
+def _local_word_ids(words, V_local, vocab_axis):
+    """Map global word ids onto this device's vocab shard.
+
+    Returns (local ids clamped into [0, V_local), ownership mask).
+    Vocab shards hold contiguous [i*V_local, (i+1)*V_local) slices —
+    the layout `device_put(beta, P(None, VOCAB_AXIS))` produces.
+    """
+    lo = jax.lax.axis_index(vocab_axis) * V_local
+    wl = words - lo
+    ok = (wl >= 0) & (wl < V_local)
+    return jnp.where(ok, wl, 0), ok
+
+
+def _gather_beta(beta, words, aspects, vocab_axis=None):
+    """Gather per-doc topic-word slices -> (B, K, L).
+
+    With ``vocab_axis`` set, ``beta`` is this device's (K, V/nv) vocab
+    shard: each shard gathers the columns it owns (zeros elsewhere) and
+    one ``psum`` over the vocab axis assembles the full (B, K, L) block
+    — the vocab-parallel-embedding pattern, and the only per-chunk
+    vocab collective on the E-step hot path (the Newton loop then runs
+    on the assembled block, replicated across vocab shards).
+    """
+    if vocab_axis is not None:
+        words, ok = _local_word_ids(words, beta.shape[-1], vocab_axis)
     if beta.ndim == 2:
-        return jnp.transpose(jnp.take(beta, words, axis=1), (1, 0, 2))
-    return jax.vmap(lambda a, w: jnp.take(beta[a], w, axis=1))(aspects, words)
+        bd = jnp.transpose(jnp.take(beta, words, axis=1), (1, 0, 2))
+    else:
+        bd = jax.vmap(lambda a, w: jnp.take(beta[a], w, axis=1))(aspects, words)
+    if vocab_axis is not None:
+        bd = jnp.where(ok[:, None, :], bd, jnp.zeros((), bd.dtype))
+        bd = jax.lax.psum(bd, vocab_axis)
+    return bd
 
 
-def _scatter_phi(beta_ss, phi, words, aspects):
-    """beta_ss[(aspect,) :, words] += phi for a whole chunk at once."""
+def _scatter_phi(beta_ss, phi, words, aspects, vocab_axis=None):
+    """beta_ss[(aspect,) :, words] += phi for a whole chunk at once.
+
+    With ``vocab_axis`` set, each device scatters only the words its
+    vocab shard owns — beta_ss stays vocab-sharded with NO collective
+    (the doc-axis psum of beta_ss happens once per EM iteration)."""
     B, K, L = phi.shape
+    if vocab_axis is not None:
+        words, ok = _local_word_ids(words, beta_ss.shape[-1], vocab_axis)
+        phi = jnp.where(ok[:, None, :], phi, jnp.zeros((), phi.dtype))
     phi_flat = jnp.transpose(phi, (1, 0, 2)).reshape(K, B * L)
     if beta_ss.ndim == 2:
         idx = words.reshape(B * L)
@@ -502,7 +537,8 @@ def _scatter_phi(beta_ss, phi, words, aspects):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "batch_size", "use_pallas", "pallas_block")
+    jax.jit,
+    static_argnames=("cfg", "batch_size", "use_pallas", "pallas_block", "vocab_axis"),
 )
 def run_estep(
     beta,
@@ -518,11 +554,15 @@ def run_estep(
     batch_size: int = 1024,
     use_pallas: bool = False,
     pallas_block: int = 16,
+    vocab_axis=None,
 ) -> EStepResult:
     """E-step over a (shard of a) corpus.
 
     Args:
-      beta: (K, V) or (A, K, V) topic-word distributions.
+      beta: (K, V) or (A, K, V) topic-word distributions; with
+        ``vocab_axis`` set (inside shard_map over a 2-D mesh), the
+        local (..., V/nv) vocab shard, and the returned beta_ss is the
+        matching shard.
       mu: (N, K-1) prior means; eta0: (N, K-1) warm starts.
       siginv, sigmaentropy: from :func:`precompute_sigma`.
       words/counts: (N, L) padded corpus arrays (device).
@@ -554,7 +594,7 @@ def run_estep(
         beta_ss, sigma_ss = carry
         w, c, mu_c, eta_c, asp, ok = chunk
         doc_w = ok.astype(beta.dtype)
-        beta_doc = _gather_beta(beta, w, asp)
+        beta_doc = _gather_beta(beta, w, asp, vocab_axis)
         Nd = jnp.sum(c, axis=1)
         if use_pallas:
             from strutopy_tpu.ops.pallas_estep import pallas_newton_impl
@@ -577,7 +617,7 @@ def run_estep(
             eta, beta_doc, c, mu_c, doc_w, siginv, sigmaentropy, Nd,
             nu_method=cfg.nu_method,
         )
-        beta_ss = _scatter_phi(beta_ss, phi, w, asp)
+        beta_ss = _scatter_phi(beta_ss, phi, w, asp, vocab_axis)
         sigma_ss = sigma_ss + jnp.sum(nu, axis=0)
         return (beta_ss, sigma_ss), (eta, theta, jnp.sum(bound_d), iters)
 

@@ -272,17 +272,23 @@ def update_sigma(
 # ---------------------------------------------------------------------------
 
 
-def update_beta_lda(beta_ss, smoothing: float = 0.0):
+def update_beta_lda(beta_ss, smoothing: float = 0.0, row_psum=None):
     """Row-normalize the phi sufficient statistics (reference stm.py:739-745).
 
     ``smoothing`` adds a pseudocount per (topic, word) cell first —
     off by default to match the reference exactly (whose bare
     normalization zeroes unseen words, making heldout -inf on any
     out-of-training word; see STMConfig.beta_smoothing).
+
+    ``row_psum`` reduces the per-row sums across vocab shards when
+    beta_ss is vocab-sharded (a (K, 1) psum — the only M-step vocab
+    collective); the per-cell normalization stays local.
     """
     if smoothing and smoothing > 0.0:
         beta_ss = beta_ss + jnp.asarray(smoothing, beta_ss.dtype)
     row_sums = jnp.sum(beta_ss, axis=-1, keepdims=True)
+    if row_psum is not None:
+        row_sums = row_psum(row_sums)
     return jnp.where(row_sums > 0, beta_ss / jnp.maximum(row_sums, 1e-30), 0.0)
 
 

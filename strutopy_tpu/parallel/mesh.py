@@ -17,6 +17,7 @@ from jax.sharding import Mesh
 
 
 DOC_AXIS = "docs"
+VOCAB_AXIS = "vocab"
 
 
 def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
@@ -39,6 +40,33 @@ def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = Non
             )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DOC_AXIS,))
+
+
+def make_mesh_2d(
+    n_doc_shards: int,
+    n_vocab_shards: int,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """2-D (docs, vocab) mesh for vocabulary-sharded EM (SURVEY §2.5).
+
+    Documents shard over the first axis as in :func:`make_mesh`; the
+    ``beta``/``beta_ss`` (K, V) arrays additionally shard their vocab
+    dimension over the second axis, dropping per-chip K*V memory by
+    ``n_vocab_shards``.  Lay the doc axis outermost so the per-chunk
+    beta_doc psum (the only vocab collective on the hot path) rides the
+    fastest ICI ring.
+    """
+    if devices is None:
+        devices = jax.devices()
+    need = n_doc_shards * n_vocab_shards
+    if len(devices) < need:
+        raise ValueError(
+            f"make_mesh_2d({n_doc_shards}, {n_vocab_shards}) needs {need} "
+            f"devices but the {jax.default_backend()} backend has "
+            f"{len(devices)}"
+        )
+    grid = np.asarray(devices[:need]).reshape(n_doc_shards, n_vocab_shards)
+    return Mesh(grid, (DOC_AXIS, VOCAB_AXIS))
 
 
 def default_mesh() -> Optional[Mesh]:

@@ -23,13 +23,18 @@ from strutopy_tpu.models.config import STMConfig
 from strutopy_tpu.models.em import CorpusData, em_iteration
 from strutopy_tpu.models.state import STMState
 from strutopy_tpu.ops import mstep
-from strutopy_tpu.parallel.mesh import DOC_AXIS
+from strutopy_tpu.parallel.mesh import DOC_AXIS, VOCAB_AXIS
 
 
-def _state_specs(content: bool):
-    """PartitionSpecs for STMState: per-doc arrays shard, params replicate."""
+def _state_specs(content: bool, vocab_sharded: bool = False):
+    """PartitionSpecs for STMState: per-doc arrays shard, params replicate.
+
+    With ``vocab_sharded``, beta additionally shards its vocab (last)
+    dimension over the VOCAB mesh axis (SURVEY §2.5's "V-sharding for
+    large K×V": per-chip beta memory drops by the vocab mesh size)."""
+    beta_spec = P(None, VOCAB_AXIS) if vocab_sharded else P()
     return STMState(
-        beta=P(),
+        beta=beta_spec,
         mu=P(DOC_AXIS),
         sigma=P(),
         eta=P(DOC_AXIS),
@@ -69,8 +74,23 @@ def make_sharded_em_step(
     size, so each device's shard holds the same contiguous per-bucket
     layout and the in-step bucket offsets (derived from local shapes)
     line up with the state shards.
+
+    When ``mesh`` has a VOCAB axis (from :func:`make_mesh_2d`), beta
+    and beta_ss shard their vocab dimension over it: the E-step
+    assembles per-chunk beta_doc blocks with one vocab-axis psum
+    (ops/estep.py::_gather_beta) and scatters phi locally, and the
+    M-step beta row sums psum over the vocab axis.  Corpus arrays stay
+    doc-sharded (replicated across vocab shards).
     """
-    state_specs = _state_specs(cfg.content)
+    vocab_sharded = VOCAB_AXIS in mesh.axis_names
+    if vocab_sharded and (cfg.content or not cfg.lda_beta):
+        raise NotImplementedError(
+            "vocab sharding currently supports the LDA-style beta update "
+            "only; the content-model kappa regression needs replicated "
+            "beta_ss (its (A*K, V) GLM couples aspects across the full "
+            "vocabulary)"
+        )
+    state_specs = _state_specs(cfg.content, vocab_sharded)
     data_specs = _data_specs(n_buckets)
 
     def _em_local(state: STMState, data: CorpusData) -> STMState:
@@ -83,6 +103,7 @@ def make_sharded_em_step(
             cfg,
             psum=lambda x: jax.lax.psum(x, DOC_AXIS),
             bucket_batches=bucket_batches,
+            vocab_axis=VOCAB_AXIS if vocab_sharded else None,
         )
 
     sharded = jax.shard_map(
@@ -112,7 +133,22 @@ def shard_corpus(mesh: Mesh, data: CorpusData) -> CorpusData:
 
 
 def shard_state(mesh: Mesh, state: STMState, content: bool = False) -> STMState:
-    specs = _state_specs(content)
+    vocab_sharded = VOCAB_AXIS in mesh.axis_names
+    if vocab_sharded:
+        if state.beta.ndim != 2:
+            raise NotImplementedError(
+                "vocab sharding currently supports the LDA-style (K, V) "
+                "beta only; the content model's (A, K, V) beta needs the "
+                "replicated path"
+            )
+        nv = mesh.shape[VOCAB_AXIS]
+        V = state.beta.shape[-1]
+        if V % nv:
+            raise ValueError(
+                f"V={V} is not divisible by the {nv}-way vocab mesh axis; "
+                "pad the vocabulary (PaddedCorpus(..., V=...)) to a multiple"
+            )
+    specs = _state_specs(content, vocab_sharded)
     return STMState(
         *(
             jax.device_put(x, NamedSharding(mesh, s))

@@ -1,0 +1,105 @@
+"""Vocabulary-sharded EM: 2-D (docs, vocab) mesh must match 1 device.
+
+SURVEY.md §2.5's "V-sharding for large K×V": beta/beta_ss shard their
+vocab dimension over the VOCAB mesh axis (per-chip K*V memory drops by
+the vocab mesh size), the E-step assembles per-chunk beta_doc blocks
+with one vocab-axis psum, and the M-step beta row sums psum over the
+vocab axis.  Runs on the 8 virtual CPU devices forced in conftest.py.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from strutopy_tpu.models.stm import STM
+from strutopy_tpu.parallel.mesh import VOCAB_AXIS, make_mesh_2d
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def _padded_dictionary(toy_dictionary):
+    """Vocab mesh axes need V % n_vocab_shards == 0; pad the dictionary
+    to a multiple of 8 (shared by both fits so comparisons are exact)."""
+    words = list(toy_dictionary)
+    while len(words) % 8:
+        words.append(f"__pad_{len(words)}")
+    return words
+
+
+def _fit_kwargs(toy_corpus, toy_dictionary, toy_metadata):
+    train_docs = toy_corpus.train_docs
+    return dict(
+        documents=train_docs,
+        dictionary=_padded_dictionary(toy_dictionary),
+        K=3,
+        X=toy_metadata[: len(train_docs)],
+        max_em_iter=3,
+        init_type="random",
+        model_type="STM",
+        seed=123456,
+    )
+
+
+@needs8
+@pytest.mark.parametrize("n_docs,n_vocab", [(2, 4), (4, 2)])
+def test_vocab_sharded_matches_single_device(
+    toy_corpus, toy_dictionary, toy_metadata, n_docs, n_vocab
+):
+    kwargs = _fit_kwargs(toy_corpus, toy_dictionary, toy_metadata)
+    m1 = STM(**kwargs)
+    m1.expectation_maximization(saving=False)
+
+    mesh = make_mesh_2d(n_docs, n_vocab)
+    assert mesh.shape[VOCAB_AXIS] == n_vocab
+    mv = STM(**kwargs, mesh=mesh)
+    # beta must actually be sharded over the vocab axis
+    beta_sharding = mv._state.beta.sharding
+    assert beta_sharding.spec[-1] == VOCAB_AXIS
+    mv.expectation_maximization(saving=False)
+
+    np.testing.assert_allclose(
+        np.asarray(mv.last_bounds), np.asarray(m1.last_bounds), rtol=2e-4
+    )
+    np.testing.assert_allclose(mv.beta, m1.beta, atol=2e-4)
+    np.testing.assert_allclose(mv.sigma, m1.sigma, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(mv.theta, m1.theta, atol=2e-3)
+
+
+@needs8
+def test_vocab_sharded_with_smoothing(toy_corpus, toy_dictionary, toy_metadata):
+    """beta_smoothing adds per-cell pseudocounts; the vocab-psummed row
+    sums must still normalize rows to exactly 1 across shards."""
+    kwargs = _fit_kwargs(toy_corpus, toy_dictionary, toy_metadata)
+    kwargs["max_em_iter"] = 2
+    m1 = STM(**kwargs, beta_smoothing=0.05)
+    m1.expectation_maximization(saving=False)
+    mv = STM(**kwargs, beta_smoothing=0.05, mesh=make_mesh_2d(2, 4))
+    mv.expectation_maximization(saving=False)
+    np.testing.assert_allclose(mv.beta.sum(axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(mv.beta, m1.beta, atol=2e-4)
+
+
+@needs8
+def test_vocab_sharding_rejects_content_model(toy_corpus, toy_dictionary):
+    train_docs = toy_corpus.train_docs
+    n = len(train_docs)
+    beta_index = np.random.default_rng(0).integers(0, 2, n)
+    with pytest.raises(NotImplementedError, match="vocab sharding"):
+        STM(
+            documents=train_docs,
+            dictionary=_padded_dictionary(toy_dictionary),
+            K=3,
+            X=beta_index,
+            content=True,
+            A=2,
+            beta_index=beta_index,
+            lda_beta=False,
+            max_em_iter=1,
+            init_type="random",
+            mesh=make_mesh_2d(2, 4),
+        )
+
+
+def test_make_mesh_2d_raises_on_insufficient_devices():
+    with pytest.raises(ValueError, match="needs 1024 devices"):
+        make_mesh_2d(32, 32)
