@@ -59,6 +59,13 @@ class STMConfig:
     newton_cg_iters: int = 6  # Steihaug CG steps (capped at K-1; 6 matches cg=12 bounds to 0.05% at K=100-200 and is +13% faster, measured r2)
     newton_bf16_hessian: bool = True  # bf16 MXU matmul for the in-loop Hessian
     newton_fixed_iters: bool = False  # run exactly max_iters (fori_loop)
+    # two-pass difficulty schedule (ops/estep.py::_two_pass_estep):
+    # pass 1 caps every chunk at newton_pass1_iters Newton steps, pass 2
+    # densely regroups the unconverged stragglers (a static
+    # newton_straggler_frac budget of N) and finishes them, pass 3
+    # finalizes.  0 disables (single-pass while_loop per chunk).
+    newton_pass1_iters: int = 0
+    newton_straggler_frac: float = 0.3
     # execution
     batch_size: int = 256  # docs per E-step scan chunk (per device; smaller chunks reduce Newton convergence coupling — B=128-256 measured fastest at K=100)
     use_pallas: bool = False  # round-1 whole-Newton-loop kernel (TPU only)
@@ -100,6 +107,17 @@ class STMConfig:
             raise ValueError("beta_smoothing must be >= 0")
         if self.nu_method not in ("chol", "ns"):
             raise ValueError(f"nu_method must be chol or ns, got {self.nu_method}")
+        if self.newton_pass1_iters < 0 or self.newton_pass1_iters >= self.newton_max_iters and self.newton_pass1_iters != 0:
+            raise ValueError(
+                "newton_pass1_iters must be 0 (off) or in [1, newton_max_iters)"
+            )
+        if not 0.0 < self.newton_straggler_frac <= 1.0:
+            raise ValueError("newton_straggler_frac must be in (0, 1]")
+        if self.newton_pass1_iters and self.use_pallas:
+            raise ValueError(
+                "the two-pass schedule is incompatible with the whole-loop "
+                "Pallas kernel (use_pallas); the stage kernels are fine"
+            )
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

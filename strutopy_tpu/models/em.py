@@ -148,6 +148,8 @@ def local_estep_stats(state: STMState, data: CorpusData, cfg: STMConfig,
             batch_size=B_b,
             use_pallas=cfg.use_pallas,
             vocab_axis=vocab_axis,
+            pass1_iters=cfg.newton_pass1_iters,
+            straggler_frac=cfg.newton_straggler_frac,
         )
         eta_out, theta_out, iters_out = res.eta, res.theta, res.newton_iters
         if sort:

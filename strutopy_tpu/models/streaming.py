@@ -1,0 +1,181 @@
+"""Streamed (out-of-core) EM: corpora larger than device memory.
+
+The single-chip EM step (models/em.py) keeps the whole corpus
+device-resident; at N=1M x 300 tokens that is ~2.4 GB of words+counts
+plus transient copies, which exceeds what this environment's tunnel
+worker tolerates (and, in general, what one chip's HBM holds as V and
+N grow).  This driver splits the corpus into P equally-shaped parts
+and streams one part at a time through the E-step:
+
+  for each part:  E-step stats (sufficient statistics accumulate
+                  on device; eta/theta warm starts persist per part)
+  one M-step      on the summed stats (identical math to em.py:
+                  prevalence -> mu -> sigma residual second pass ->
+                  sigma/beta)
+
+This is exactly em_iteration's dataflow with the doc loop lifted to
+host level, so the result matches the in-memory step to f32 scatter
+order (tests/test_streaming.py pins it).  Parts may live in host RAM
+as numpy arrays (device-transferred per iteration and freed after —
+the out-of-core case) or be produced on demand by a callback (e.g.
+regenerated on device each iteration, benchmarks/million_docs.py).
+
+The reference has no analogue: its serial loop is bounded by host RAM
+and days of runtime long before memory matters (SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from strutopy_tpu.models.config import STMConfig
+from strutopy_tpu.models.em import CorpusData, GlobalStats, local_estep_stats
+from strutopy_tpu.models.state import STMState
+from strutopy_tpu.ops import mstep
+
+# a part: (words (n, L), counts (n, L), aspects (n,), doc_ok (n,), D (n, P))
+Part = Tuple
+PartProvider = Union[Sequence[Part], Callable[[int], Part]]
+
+
+class StreamedEM:
+    """EM over ``n_parts`` equally-shaped corpus parts.
+
+    Args:
+      cfg: fit configuration (content models unsupported: the kappa
+        GLM wants the full beta_ss anyway, which is small — use the
+        in-memory path).
+      design: prevalence design over the FULL corpus
+        (``mstep.make_prevalence_design``).
+      parts: either a sequence of Part tuples (host numpy or device
+        arrays) or a callable ``provider(p) -> Part`` invoked once per
+        part per iteration (arrays it returns are freed after the
+        part's E-step — regenerate or re-read them each call).
+      n_parts: required when ``parts`` is a callable.
+
+    Every part must have the same (n, L) shape with n a multiple of
+    ``cfg.batch_size`` (one compiled E-step graph serves all parts).
+    """
+
+    def __init__(
+        self,
+        cfg: STMConfig,
+        design: mstep.PrevalenceDesign,
+        parts: PartProvider,
+        n_parts: Optional[int] = None,
+    ):
+        if cfg.content or not cfg.lda_beta:
+            raise NotImplementedError(
+                "streamed EM supports the LDA-style beta update; content "
+                "models fit in memory (their corpora are aspect-limited)"
+            )
+        self.cfg = cfg
+        self.design = design
+        if callable(parts):
+            if n_parts is None:
+                raise ValueError("n_parts is required with a callable provider")
+            self._provider = parts
+            self.n_parts = n_parts
+        else:
+            parts = list(parts)
+            self._provider = lambda p: parts[p]
+            self.n_parts = len(parts)
+
+        self._part_estep = jax.jit(self._part_estep_impl)
+        self._mu_resid = jax.jit(self._mu_resid_impl)
+
+    # -- jitted pieces ----------------------------------------------------
+
+    def _part_estep_impl(self, state_p: STMState, data_p: CorpusData):
+        return local_estep_stats(state_p, data_p, self.cfg)
+
+    def _mu_resid_impl(self, D_p, gamma, mu_mean, ok_p, eta_p):
+        mu_p = mstep.compute_mu(D_p, gamma, mu_mean, ok_p, self.cfg.model_type)
+        return mu_p, mstep.residual_moment(eta_p, mu_p)
+
+    # -- driver -----------------------------------------------------------
+
+    def init_parts(self, key, K: int, V: int) -> List[STMState]:
+        """Per-part state slices (eta/mu/theta) + shared beta/sigma.
+
+        Parts share one STMState *shape* so `_part_estep` compiles once."""
+        from strutopy_tpu.models.state import init_state
+
+        part0 = self._provider(0)
+        n = np.asarray(part0[0]).shape[0]
+        P = self._P(part0)
+        keys = jax.random.split(key, self.n_parts)
+        return [
+            init_state(keys[p], K=K, V=V, N=n, P=P)
+            for p in range(self.n_parts)
+        ]
+
+    @staticmethod
+    def _P(part) -> int:
+        return np.asarray(part[4]).shape[1]
+
+    def em_iteration(self, shared: STMState, part_states: List[STMState]):
+        """One full EM iteration across all parts.
+
+        ``shared`` carries beta/sigma/gamma/kappa (its per-doc fields
+        are ignored); ``part_states`` carry per-part eta/mu/theta.
+        Returns (new shared state with summed bound, new part states).
+        """
+        cfg = self.cfg
+        stats_sum = None
+        etas, iters_l, thetas = [], [], []
+        parts_cache = []  # doc_ok + D stay for the mu/resid second pass
+
+        for p in range(self.n_parts):
+            w, c, a, ok, D = (jnp.asarray(x) for x in self._provider(p))
+            data_p = CorpusData.single(w, c, a, ok, D)
+            ps = part_states[p]
+            state_p = ps._replace(
+                beta=shared.beta, sigma=shared.sigma, gamma=shared.gamma,
+                kappa=shared.kappa,
+            )
+            stats, eta_p, theta_p, it_p = self._part_estep(state_p, data_p)
+            stats_sum = (
+                stats
+                if stats_sum is None
+                else GlobalStats(*(x + y for x, y in zip(stats_sum, stats)))
+            )
+            etas.append(eta_p)
+            thetas.append(theta_p)
+            iters_l.append(it_p)
+            parts_cache.append((ok, D))
+            del w, c, a, data_p  # free the part's corpus before the next
+
+        mom = mstep.EtaMoments(Dt_eta=stats_sum.Dt_eta, eta_sum=stats_sum.eta_sum)
+        gamma, mu_mean = mstep.update_prevalence(
+            mom, self.design, cfg.model_type, cfg.mode,
+            ridge_alpha=cfg.ridge_alpha, lasso_alpha=cfg.lasso_alpha,
+        )
+
+        resid = None
+        mus = []
+        for p in range(self.n_parts):
+            ok, D = parts_cache[p]
+            mu_p, r = self._mu_resid(D, gamma, mu_mean, ok, etas[p])
+            mus.append(mu_p)
+            resid = r if resid is None else resid + r
+
+        sigma = mstep.update_sigma(
+            resid, stats_sum.sigma_ss, self.design.n_docs, cfg.sigma_prior
+        )
+        beta = mstep.update_beta_lda(stats_sum.beta_ss, cfg.beta_smoothing)
+
+        new_shared = shared._replace(
+            beta=beta, sigma=sigma, gamma=gamma, bound=stats_sum.bound
+        )
+        new_parts = [
+            part_states[p]._replace(
+                eta=etas[p], theta=thetas[p], mu=mus[p], opt_iters=iters_l[p]
+            )
+            for p in range(self.n_parts)
+        ]
+        return new_shared, new_parts

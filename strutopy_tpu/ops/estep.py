@@ -269,8 +269,18 @@ def _cg_batched(H, g, iters: int, bf16: bool = True, mosaic_safe: bool = False):
     return x
 
 
-def _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg: NewtonConfig):
-    """Damped Newton for a chunk. Returns (eta (B,K-1), n_iters (B,))."""
+def _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg: NewtonConfig,
+                    done0=None):
+    """Damped Newton for a chunk.
+
+    Returns (eta (B,K-1), n_iters (B,), done (B,)).  ``done`` is False
+    only for docs that hit the ``max_iters`` cap while still improving
+    (unconverged stragglers); each Newton step is a pure per-doc
+    function of eta, so such docs can resume seamlessly in a later
+    call with the remaining iteration budget (the two-pass schedule in
+    :func:`run_estep`).  ``done0`` carries the prior call's done flags
+    into such a resume — without it, docs that stopped on a line-search
+    failure would re-attempt (and re-fail) the search once."""
     B, K, _ = beta_doc.shape
     Nd = jnp.sum(counts, axis=1)
     cg_iters = min(cfg.cg_iters, K - 1)
@@ -346,16 +356,16 @@ def _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg: NewtonConfig):
     st0 = (
         eta0,
         jnp.int32(0),
-        jnp.zeros(B, bool),
+        jnp.zeros(B, bool) if done0 is None else done0,
         jnp.zeros(B, jnp.int32),
     )
     if cfg.fixed_iters:
-        eta, _, _, n_iters = jax.lax.fori_loop(
+        eta, _, done, n_iters = jax.lax.fori_loop(
             0, cfg.max_iters, lambda _, st: body(st), st0
         )
     else:
-        eta, _, _, n_iters = jax.lax.while_loop(cond, body, st0)
-    return eta, n_iters
+        eta, _, done, n_iters = jax.lax.while_loop(cond, body, st0)
+    return eta, n_iters, done
 
 
 def _make_pd_batched(M):
@@ -457,7 +467,7 @@ def _doc_estep(beta_doc, counts, mu, eta0, doc_w, siginv, sigmaentropy, cfg: New
     """E-step for ONE document. Returns (eta, theta, nu, bound, phi, n_iters)."""
     bd = beta_doc[None]
     c = counts[None]
-    eta, n_iters = _batched_newton(bd, c, mu[None], eta0[None], siginv, cfg)
+    eta, n_iters, _ = _batched_newton(bd, c, mu[None], eta0[None], siginv, cfg)
     Nd = jnp.sum(c, axis=1)
     theta, nu, bound, phi = _finalize_chunk(
         eta, bd, c, mu[None], jnp.asarray([doc_w], eta.dtype), siginv,
@@ -536,9 +546,119 @@ def _scatter_phi(beta_ss, phi, words, aspects, vocab_axis=None):
     return jnp.transpose(flat.reshape(K, A, V), (1, 0, 2))
 
 
+def _two_pass_estep(
+    beta, mu, eta0, siginv, sigmaentropy, words, counts, aspects, doc_ok,
+    cfg: NewtonConfig, B: int, pass1_iters: int, straggler_frac: float,
+    vocab_axis,
+) -> EStepResult:
+    """Two-pass difficulty schedule (TODO r1: the 1.45x straggler bound).
+
+    The batched while_loop runs every chunk to its WORST doc's Newton
+    count; difficulty-sorting by stale counts only partly helps.  Here:
+      pass 1  caps all chunks at ``pass1_iters`` steps;
+      pass 2  densely regroups the unconverged docs (a static
+              ``straggler_frac`` budget) and runs them to convergence
+              with the remaining iteration budget;
+      pass 3  finalizes (nu/bound/phi scatter) every doc in storage
+              order.
+    Each Newton step is a pure per-doc function of eta (per-doc Armijo,
+    fixed CG count), so splitting/regrouping reproduces the single-pass
+    trajectories exactly; only the f32 scatter order differs.  Docs
+    beyond the straggler budget keep their pass-1 eta — same semantics
+    as hitting ``max_iters`` (the budget is sized to make this rare;
+    ``newton_iters`` records it when it happens).
+    """
+    N, L = words.shape
+    C = N // B
+    K = beta.shape[-2]
+    Km1 = K - 1
+
+    def chunked(x):
+        return x.reshape((C, B) + x.shape[1:])
+
+    def newton_scan(cfg_p, w_s, c_s, mu_s, eta_s, asp_s, done_s=None):
+        def fn(_, chunk):
+            w, c, mu_c, eta_c, asp, d0 = chunk
+            bd = _gather_beta(beta, w, asp, vocab_axis)
+            if cfg.bf16_beta:
+                bd = bd.astype(jnp.bfloat16)
+            eta, it, done = _batched_newton(
+                bd, c, mu_c, eta_c, siginv, cfg_p, done0=d0
+            )
+            return None, (eta, it, done)
+
+        if done_s is None:
+            done_s = jnp.zeros(w_s.shape[:2], bool)
+        _, (eta, it, done) = jax.lax.scan(
+            fn, None, (w_s, c_s, mu_s, eta_s, asp_s, done_s)
+        )
+        n = w_s.shape[0] * B
+        return eta.reshape(n, Km1), it.reshape(n), done.reshape(n)
+
+    # ----- pass 1: capped Newton over all docs -----
+    cfg1 = cfg._replace(max_iters=min(pass1_iters, cfg.max_iters))
+    eta, iters, done = newton_scan(
+        cfg1, chunked(words), chunked(counts), chunked(mu), chunked(eta0),
+        chunked(aspects),
+    )
+
+    # ----- pass 2: densely packed stragglers, remaining budget -----
+    rest = cfg.max_iters - cfg1.max_iters
+    M = min(max(-(-int(straggler_frac * N) // B) * B, B), N)
+    if rest > 0 and M > 0:
+        cfg2 = cfg._replace(max_iters=rest)
+        # ascending sort: unconverged (False=0) docs pack to the front
+        idx = jnp.argsort(done)[:M]
+        eta2, it2, _ = newton_scan(
+            cfg2,
+            words[idx].reshape(M // B, B, L),
+            counts[idx].reshape(M // B, B, L),
+            mu[idx].reshape(M // B, B, Km1),
+            eta[idx].reshape(M // B, B, Km1),
+            aspects[idx].reshape(M // B, B),
+            done[idx].reshape(M // B, B),
+        )
+        eta = eta.at[idx].set(eta2)
+        iters = iters.at[idx].add(it2)
+
+    # ----- pass 3: finalize + scatter in storage order -----
+    beta_ss0 = jnp.zeros(beta.shape, beta.dtype)
+    sigma_ss0 = jnp.zeros((Km1, Km1), beta.dtype)
+
+    def fin(carry, chunk):
+        beta_ss, sigma_ss = carry
+        w, c, mu_c, eta_c, asp, ok = chunk
+        doc_w = ok.astype(beta.dtype)
+        bd = _gather_beta(beta, w, asp, vocab_axis)
+        theta, nu, bound_d, phi = _finalize_chunk(
+            eta_c, bd, c, mu_c, doc_w, siginv, sigmaentropy,
+            jnp.sum(c, axis=1), nu_method=cfg.nu_method,
+        )
+        beta_ss = _scatter_phi(beta_ss, phi, w, asp, vocab_axis)
+        return (beta_ss, sigma_ss + jnp.sum(nu, axis=0)), (theta, jnp.sum(bound_d))
+
+    (beta_ss, sigma_ss), (theta, bounds) = jax.lax.scan(
+        fin,
+        (beta_ss0, sigma_ss0),
+        (chunked(words), chunked(counts), chunked(mu), chunked(eta),
+         chunked(aspects), chunked(doc_ok)),
+    )
+    return EStepResult(
+        beta_ss=beta_ss,
+        sigma_ss=sigma_ss,
+        bound=jnp.sum(bounds),
+        eta=eta,
+        theta=theta.reshape(N, K),
+        newton_iters=iters,
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "batch_size", "use_pallas", "pallas_block", "vocab_axis"),
+    static_argnames=(
+        "cfg", "batch_size", "use_pallas", "pallas_block", "vocab_axis",
+        "pass1_iters", "straggler_frac",
+    ),
 )
 def run_estep(
     beta,
@@ -555,6 +675,8 @@ def run_estep(
     use_pallas: bool = False,
     pallas_block: int = 16,
     vocab_axis=None,
+    pass1_iters: int = 0,
+    straggler_frac: float = 0.3,
 ) -> EStepResult:
     """E-step over a (shard of a) corpus.
 
@@ -570,11 +692,19 @@ def run_estep(
       doc_ok: (N,) bool mask; False rows are padding documents.
       batch_size: docs per scan chunk; N must be a multiple
         (callers pad with dummy docs).
+      pass1_iters: >0 enables the two-pass difficulty schedule
+        (:func:`_two_pass_estep`); incompatible with ``use_pallas``
+        (the whole-loop kernel owns its own iteration control).
     """
     N, L = words.shape
     B = min(batch_size, N)
     if N % B != 0:
         raise ValueError(f"N={N} must be a multiple of batch_size={B}; pad the corpus")
+    if pass1_iters and not use_pallas:
+        return _two_pass_estep(
+            beta, mu, eta0, siginv, sigmaentropy, words, counts, aspects,
+            doc_ok, cfg, B, pass1_iters, straggler_frac, vocab_axis,
+        )
     C = N // B
     K = beta.shape[-2]
 
@@ -612,7 +742,7 @@ def run_estep(
             bd_loop = (
                 beta_doc.astype(jnp.bfloat16) if cfg.bf16_beta else beta_doc
             )
-            eta, iters = _batched_newton(bd_loop, c, mu_c, eta_c, siginv, cfg)
+            eta, iters, _ = _batched_newton(bd_loop, c, mu_c, eta_c, siginv, cfg)
         theta, nu, bound_d, phi = _finalize_chunk(
             eta, beta_doc, c, mu_c, doc_w, siginv, sigmaentropy, Nd,
             nu_method=cfg.nu_method,

@@ -68,7 +68,7 @@ def _newton_kernel(siginv_ref, beta_doc_ref, counts_ref, mu_ref, eta0_ref,
     # Mosaic cannot lower batched dot_general: run the same math with
     # per-doc 2D dots / lane-reduction matvecs
     kcfg = cfg._replace(mosaic_safe=True)
-    eta, n_iters = _batched_newton(beta_doc, counts, mu, eta0, siginv, kcfg)
+    eta, n_iters, _ = _batched_newton(beta_doc, counts, mu, eta0, siginv, kcfg)
     eta_out_ref[:] = eta
     iters_out_ref[:] = n_iters.astype(jnp.int32)[:, None]
 

@@ -33,7 +33,7 @@ def _problem(B=32, K=8, L=128, V=300, seed=0):
 def test_pallas_newton_matches_xla_interpret():
     beta_doc, counts, mu, eta0, siginv = _problem()
     cfg = NewtonConfig()
-    eta_x, it_x = _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg)
+    eta_x, it_x, _ = _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg)
     eta_p, it_p = pallas_estep.pallas_newton(
         beta_doc, counts, mu, eta0, siginv, cfg=cfg, block_docs=16, interpret=True
     )

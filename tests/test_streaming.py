@@ -1,0 +1,123 @@
+"""Streamed (out-of-core) EM must match the in-memory EM step.
+
+models/streaming.py lifts em_iteration's doc loop to host level (one
+corpus part on device at a time); the math is identical, so bounds,
+beta, sigma and gamma must agree with make_em_step on the concatenated
+corpus to f32-scatter-order tolerance.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from strutopy_tpu.models.config import STMConfig
+from strutopy_tpu.models.em import CorpusData, make_em_step
+from strutopy_tpu.models.state import init_state
+from strutopy_tpu.models.streaming import StreamedEM
+from strutopy_tpu.ops import mstep
+
+
+def _corpus(N=96, K=4, L=18, V=120, seed=0):
+    rng = np.random.default_rng(seed)
+    words = rng.integers(0, V, (N, L)).astype(np.int32)
+    counts = rng.integers(1, 3, (N, L)).astype(np.float32)
+    aspects = np.zeros(N, np.int32)
+    doc_ok = np.ones(N, bool)
+    X = rng.integers(0, 2, N).astype(np.float64)
+    return words, counts, aspects, doc_ok, X
+
+
+@pytest.mark.parametrize("n_parts", [2, 3])
+def test_streamed_matches_in_memory(n_parts):
+    N, K, V = 96, 4, 120
+    words, counts, aspects, doc_ok, X = _corpus(N=N, K=K, V=V)
+    cfg = STMConfig(K=K, model_type="STM", init_type="random", batch_size=16,
+                    sort_by_difficulty=False)
+    D_np, design = mstep.make_prevalence_design(X, doc_ok)
+
+    # ---- in-memory reference ----
+    data = CorpusData.single(
+        jnp.asarray(words), jnp.asarray(counts), jnp.asarray(aspects),
+        jnp.asarray(doc_ok), jnp.asarray(D_np, jnp.float32),
+    )
+    state = init_state(jax.random.PRNGKey(0), K=K, V=V, N=N, P=D_np.shape[1])
+    em = make_em_step(cfg, design, None, np.zeros(V))
+    bounds_mem = []
+    for _ in range(3):
+        state = em(state, data)
+        bounds_mem.append(float(np.asarray(state.bound)))
+
+    # ---- streamed over host-numpy parts ----
+    n = N // n_parts
+    parts = [
+        (words[i * n:(i + 1) * n], counts[i * n:(i + 1) * n],
+         aspects[i * n:(i + 1) * n], doc_ok[i * n:(i + 1) * n],
+         D_np[i * n:(i + 1) * n].astype(np.float32))
+        for i in range(n_parts)
+    ]
+    sem = StreamedEM(cfg, design, parts)
+    # identical init: slice the in-memory init per part
+    full0 = init_state(jax.random.PRNGKey(0), K=K, V=V, N=N, P=D_np.shape[1])
+    part_states = [
+        full0._replace(
+            eta=full0.eta[i * n:(i + 1) * n],
+            mu=full0.mu[i * n:(i + 1) * n],
+            theta=full0.theta[i * n:(i + 1) * n],
+            opt_iters=full0.opt_iters[i * n:(i + 1) * n],
+        )
+        for i in range(n_parts)
+    ]
+    shared = full0
+    bounds_str = []
+    for _ in range(3):
+        shared, part_states = sem.em_iteration(shared, part_states)
+        bounds_str.append(float(np.asarray(shared.bound)))
+
+    np.testing.assert_allclose(bounds_str, bounds_mem, rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(shared.beta), np.asarray(state.beta), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(shared.sigma), np.asarray(state.sigma), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(shared.gamma), np.asarray(state.gamma), rtol=2e-3, atol=2e-4
+    )
+    # eta accumulates the f32 moment-summation-order drift across the 3
+    # iterations (same class as test_sharding's theta tolerance)
+    eta_streamed = np.concatenate([np.asarray(s.eta) for s in part_states])
+    np.testing.assert_allclose(eta_streamed, np.asarray(state.eta), atol=2e-3)
+
+
+def test_streamed_provider_callable():
+    """Callable provider: parts regenerated per call (the on-device-DGP
+    pattern of benchmarks/million_docs.py)."""
+    N, K, V, n_parts = 64, 3, 80, 2
+    words, counts, aspects, doc_ok, X = _corpus(N=N, K=K, V=V, seed=1)
+    cfg = STMConfig(K=K, model_type="STM", init_type="random", batch_size=16,
+                    sort_by_difficulty=False)
+    D_np, design = mstep.make_prevalence_design(X, doc_ok)
+    n = N // n_parts
+
+    calls = []
+
+    def provider(p):
+        calls.append(p)
+        s = slice(p * n, (p + 1) * n)
+        return (words[s], counts[s], aspects[s], doc_ok[s],
+                D_np[s].astype(np.float32))
+
+    sem = StreamedEM(cfg, design, provider, n_parts=n_parts)
+    part_states = sem.init_parts(jax.random.PRNGKey(0), K=K, V=V)
+    shared = init_state(jax.random.PRNGKey(0), K=K, V=V, N=n, P=D_np.shape[1])
+    for _ in range(2):
+        shared, part_states = sem.em_iteration(shared, part_states)
+    assert np.isfinite(float(np.asarray(shared.bound)))
+    assert calls == [0, 0, 1, 0, 1]  # init_parts peeks part 0 first
+
+
+def test_streamed_rejects_content():
+    cfg = STMConfig(K=3, content=True, A=2, lda_beta=False)
+    with pytest.raises(NotImplementedError, match="streamed"):
+        StreamedEM(cfg, None, [], n_parts=1)
