@@ -46,9 +46,7 @@ void* stm_mm_open(const char* path) {
     return c;
   }
   // skip comments
-  long header_pos;
   do {
-    header_pos = std::ftell(f);
     if (!std::fgets(line, sizeof line, f)) {
       c->error = "truncated header";
       std::fclose(f);

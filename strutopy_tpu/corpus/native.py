@@ -23,17 +23,30 @@ _lib = None
 _tried = False
 
 
+def _stale() -> bool:
+    """Rebuild when any source is newer than the built library."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    for f in os.listdir(_NATIVE_DIR):
+        if f.endswith(".cpp") and os.path.getmtime(
+            os.path.join(_NATIVE_DIR, f)
+        ) > lib_mtime:
+            return True
+    return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    if _stale():
         makefile = os.path.join(_NATIVE_DIR, "Makefile")
         if os.path.exists(makefile):
             try:
                 subprocess.run(
-                    ["make", "-C", _NATIVE_DIR], check=True,
+                    ["make", "-C", _NATIVE_DIR, "-B"], check=True,
                     capture_output=True, timeout=120,
                 )
             except Exception as e:  # no toolchain — fall back to python
@@ -66,6 +79,29 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
     ]
+    # BoW builder (native/bow.cpp)
+    lib.stm_bow_build.restype = ctypes.c_void_p
+    lib.stm_bow_build.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_double,
+    ]
+    lib.stm_bow_error.restype = ctypes.c_char_p
+    lib.stm_bow_error.argtypes = [ctypes.c_void_p]
+    lib.stm_bow_vocab_size.restype = ctypes.c_int64
+    lib.stm_bow_vocab_size.argtypes = [ctypes.c_void_p]
+    lib.stm_bow_vocab_blob_len.restype = ctypes.c_int64
+    lib.stm_bow_vocab_blob_len.argtypes = [ctypes.c_void_p]
+    lib.stm_bow_vocab_copy.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.stm_bow_nnz.restype = ctypes.c_int64
+    lib.stm_bow_nnz.argtypes = [ctypes.c_void_p]
+    lib.stm_bow_doc_offsets.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)
+    ]
+    lib.stm_bow_entries.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.stm_bow_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -152,3 +188,74 @@ def pack_coo_padded(doc_idx, word_idx, count, n_docs: int, V: int, lane: int = 1
     return PaddedCorpus(
         words=words, counts=counts, doc_ok=doc_ok.astype(bool), V=V
     )
+
+
+_WS_RE = None
+
+
+def build_bow(texts, stopwords, min_len: int = 2, min_doc_freq: int = 1,
+              max_doc_frac: float = 1.0):
+    """Native BoW construction (native/bow.cpp): the hot loop of
+    corpus/preprocess.py::build_corpus.  Returns (bow, vocab_tokens) or
+    None if the library is unavailable.
+
+    Unicode handling split: python lowercases and normalizes unicode
+    whitespace to ' ' (both C-speed, case tables stay out of C++); the
+    native side strips ASCII punctuation/digits (python's regex is also
+    ASCII-only), splits, filters stopwords/min_len (codepoints) and
+    counts.  Exact-parity contract tested in tests/test_native_bow.py.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    global _WS_RE
+    if _WS_RE is None:
+        import re
+
+        _WS_RE = re.compile(r"\s")
+    encs = [_WS_RE.sub(" ", t.lower()).encode("utf-8") for t in texts]
+    n = len(encs)
+    offs = np.zeros(n + 1, np.int64)
+    if n:
+        np.cumsum([len(e) for e in encs], out=offs[1:])
+    blob = b"".join(encs)
+    stop_blob = ("\n".join(sorted(stopwords)) if stopwords else "").encode("utf-8")
+
+    h = lib.stm_bow_build(
+        blob, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+        stop_blob, min_len, min_doc_freq, float(max_doc_frac),
+    )
+    try:
+        err = lib.stm_bow_error(h)
+        if err:
+            raise ValueError(f"native bow: {err.decode()}")
+        blob_len = lib.stm_bow_vocab_blob_len(h)
+        buf = ctypes.create_string_buffer(int(blob_len))
+        lib.stm_bow_vocab_copy(h, buf)
+        vocab_tokens = (
+            buf.raw[: int(blob_len)].decode("utf-8").split("\n")
+            if blob_len
+            else []
+        )
+        doc_offs = np.zeros(n + 1, np.int64)
+        lib.stm_bow_doc_offsets(
+            h, doc_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        )
+        nnz = int(lib.stm_bow_nnz(h))
+        idx = np.zeros(nnz, np.int32)
+        cnt = np.zeros(nnz, np.float32)
+        if nnz:
+            lib.stm_bow_entries(
+                h,
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+    finally:
+        lib.stm_bow_free(h)
+
+    cnt_i = cnt.astype(np.int64)
+    bow = [
+        list(zip(idx[a:b].tolist(), cnt_i[a:b].tolist()))
+        for a, b in zip(doc_offs[:-1].tolist(), doc_offs[1:].tolist())
+    ]
+    return bow, vocab_tokens

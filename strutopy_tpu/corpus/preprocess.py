@@ -65,6 +65,7 @@ def build_corpus(
     ngrams: bool = False,
     ngram_min_count: int = 5,
     ngram_threshold: float = 10.0,
+    use_native: bool = True,
 ):
     """Tokenize texts -> (bow_corpus, Vocabulary).
 
@@ -73,7 +74,24 @@ def build_corpus(
     ``stem`` applies the Porter stemmer and ``ngrams`` merges learned
     bigram collocations (both README-promised preprocessing stages the
     reference never implemented).
+
+    The default path (no stemming/n-grams) runs in C++
+    (native/bow.cpp; exact-parity contract in tests/test_native_bow.py)
+    and falls back to this module's python implementation when the
+    toolchain is unavailable or ``use_native=False``.
     """
+    texts = list(texts)
+    if use_native and not stem and not ngrams:
+        from strutopy_tpu.corpus import native
+
+        res = native.build_bow(
+            texts, stopwords, min_len=2,
+            min_doc_freq=min_doc_freq, max_doc_frac=max_doc_frac,
+        )
+        if res is not None:
+            bow, vocab_tokens = res
+            return bow, Vocabulary.from_tokens(vocab_tokens)
+
     token_docs = [tokenize(t, stopwords) for t in texts]
     if ngrams:
         from strutopy_tpu.corpus.ngrams import ngram_docs
