@@ -66,8 +66,11 @@ def measure_tpu(docs, X):
     from strutopy_tpu.ops import mstep
 
     corpus = pad_corpus(docs, V=V)
+    # two-pass difficulty schedule: +33% at K=100 steady state with a
+    # bit-identical bound (benchmarks/results_twopass_K100.json)
     cfg = STMConfig(K=K, model_type="STM", mode="ols", init_type="random",
-                    batch_size=256)
+                    batch_size=256, newton_pass1_iters=6,
+                    newton_straggler_frac=0.25)
     D_np, design = mstep.make_prevalence_design(X, corpus.doc_ok)
     data = CorpusData.single(
         words=jnp.asarray(corpus.words),
@@ -81,8 +84,12 @@ def measure_tpu(docs, X):
     wcounts = corpus.word_counts()
     em = make_em_step(cfg, design, None, wcounts)
 
-    # EM iteration 1: warm-starts eta, fits beta/mu/sigma
-    state = em(state, data)
+    # 5 warm-up EM iterations: steady-state warm starts (the regime a
+    # 25-100 iteration production fit spends its time in; with only 1
+    # the Newton-iteration distribution is still cold and the two-pass
+    # straggler budget starves)
+    for _ in range(5):
+        state = em(state, data)
     jax.block_until_ready(state.bound)
 
     estep = jax.jit(lambda s, d: local_estep_stats(s, d, cfg)[0].bound)

@@ -52,10 +52,13 @@ def measure(K, V, N=4096, n_words=300, batch=256):
 
     docs, X = corpus(K, V, N, n_words)
     pc = pad_corpus(docs, V=V)
-    # large K: VMEM-resident-Hessian CG kernel (ops/pallas_stages.py)
-    # measured +14% at K=200 with a bit-identical bound
+    # large K: VMEM-resident-Hessian CG kernel (ops/pallas_stages.py,
+    # +14% at K=200, bit-identical bound).  All K: two-pass difficulty
+    # schedule (ops/estep.py::_two_pass_estep) — +33%/+24% at K=100/200
+    # steady state with identical bounds (results_twopass_K{100,200}.json)
     cfg = STMConfig(K=K, model_type="STM", init_type="random", batch_size=batch,
-                    pallas_cg=K > 150, pallas_block=32)
+                    pallas_cg=K > 150, pallas_block=32,
+                    newton_pass1_iters=6, newton_straggler_frac=0.25)
     D_np, design = mstep.make_prevalence_design(X, pc.doc_ok)
     data = CorpusData.single(
         words=jnp.asarray(pc.words),
@@ -66,7 +69,12 @@ def measure(K, V, N=4096, n_words=300, batch=256):
     )
     state = init_state(jax.random.PRNGKey(0), K=K, V=V, N=pc.N, P=D_np.shape[1])
     em = make_em_step(cfg, design, None, pc.word_counts())
-    state = em(state, data)
+    # 5 warm-up EM iterations: steady-state warm starts, the regime a
+    # production fit (20-100 iterations) actually spends its time in
+    # (after only 1 iteration the Newton-iteration distribution is still
+    # cold and straggler budgets starve)
+    for _ in range(5):
+        state = em(state, data)
     jax.block_until_ready(state.bound)
 
     estep = jax.jit(lambda s, d: local_estep_stats(s, d, cfg)[0].bound)

@@ -66,6 +66,11 @@ class STMConfig:
     # finalizes.  0 disables (single-pass while_loop per chunk).
     newton_pass1_iters: int = 0
     newton_straggler_frac: float = 0.3
+    # with the two-pass schedule on, run the first N EM iterations on
+    # the single-pass graph: cold warm starts leave most docs
+    # unconverged at the pass-1 cap, starving the straggler budget
+    # (costs one extra compile; irrelevant once fits exceed ~5 iters)
+    newton_warmup_iters: int = 2
     # execution
     batch_size: int = 256  # docs per E-step scan chunk (per device; smaller chunks reduce Newton convergence coupling — B=128-256 measured fastest at K=100)
     use_pallas: bool = False  # round-1 whole-Newton-loop kernel (TPU only)
@@ -113,6 +118,8 @@ class STMConfig:
             )
         if not 0.0 < self.newton_straggler_frac <= 1.0:
             raise ValueError("newton_straggler_frac must be in (0, 1]")
+        if self.newton_warmup_iters < 0:
+            raise ValueError("newton_warmup_iters must be >= 0")
         if self.newton_pass1_iters and self.use_pallas:
             raise ValueError(
                 "the two-pass schedule is incompatible with the whole-loop "

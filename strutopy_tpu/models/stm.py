@@ -227,16 +227,25 @@ class STM:
 
             self._data = shard_corpus(mesh, self._data)
             self._state = shard_state(mesh, self._state, config.content)
-            self._em_step = make_sharded_em_step(
-                mesh, config, self._design, self._kappa_design, self._wcounts,
+            build_step = lambda c: make_sharded_em_step(
+                mesh, c, self._design, self._kappa_design, self._wcounts,
                 n_buckets=plan.n_buckets,
                 bucket_batches=plan.batch_sizes,
             )
         else:
-            self._em_step = make_em_step(
-                config, self._design, self._kappa_design, self._wcounts,
+            build_step = lambda c: make_em_step(
+                c, self._design, self._kappa_design, self._wcounts,
                 bucket_batches=plan.batch_sizes,
             )
+        self._em_step = build_step(config)
+        # with the two-pass schedule on, cold iterations (poor warm
+        # starts -> most docs unconverged at the pass-1 cap) run the
+        # single-pass graph instead; see STMConfig.newton_warmup_iters
+        self._em_step_cold = (
+            build_step(config.replace(newton_pass1_iters=0))
+            if config.newton_pass1_iters > 0 and config.newton_warmup_iters > 0
+            else None
+        )
 
         self.last_bounds: list = []
         self.time_processed: Optional[float] = None
@@ -282,7 +291,13 @@ class STM:
         try:
             for it in range(start_iter, cfg.max_em_iter):
                 it_t0 = time.time()
-                self._state = self._em_step(self._state, self._data)
+                step = (
+                    self._em_step_cold
+                    if self._em_step_cold is not None
+                    and it < cfg.newton_warmup_iters
+                    else self._em_step
+                )
+                self._state = step(self._state, self._data)
                 bound = float(self._state.bound)
                 it_dt = time.time() - it_t0
                 if cfg.debug_checks:

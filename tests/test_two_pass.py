@@ -120,6 +120,35 @@ def test_two_pass_end_to_end_stm(toy_corpus, toy_dictionary, toy_metadata):
     np.testing.assert_allclose(m2.beta, m1.beta, atol=1e-5)
 
 
+def test_warmup_switch_builds_cold_graph(toy_corpus, toy_dictionary, toy_metadata):
+    """newton_warmup_iters: cold EM iterations run the single-pass
+    graph, later ones the two-pass graph; the fit stays sane."""
+    train_docs = toy_corpus.train_docs
+    m = STM(
+        documents=train_docs,
+        dictionary=toy_dictionary,
+        K=3,
+        X=toy_metadata[: len(train_docs)],
+        config=STMConfig(
+            K=3, model_type="STM", init_type="random", max_em_iter=4,
+            newton_pass1_iters=5, newton_warmup_iters=2,
+        ),
+    )
+    assert m._em_step_cold is not None
+    m.expectation_maximization(saving=False)
+    assert np.all(np.isfinite(np.asarray(m.last_bounds)))
+
+    m_off = STM(
+        documents=train_docs,
+        dictionary=toy_dictionary,
+        K=3,
+        X=toy_metadata[: len(train_docs)],
+        max_em_iter=2,
+        init_type="random",
+    )
+    assert m_off._em_step_cold is None
+
+
 def test_config_validates_two_pass():
     with pytest.raises(ValueError, match="newton_pass1_iters"):
         STMConfig(K=3, newton_pass1_iters=30, newton_max_iters=24)

@@ -80,6 +80,32 @@ def test_vocab_sharded_with_smoothing(toy_corpus, toy_dictionary, toy_metadata):
 
 
 @needs8
+def test_vocab_sharded_two_pass(toy_corpus, toy_dictionary, toy_metadata):
+    """Two-pass straggler schedule under a vocab-sharded mesh: the
+    pass-1/2 gathers psum over the vocab axis per chunk, the argsort
+    straggler selection replicates across vocab shards (eta is
+    replicated), and results must still match the single-device fit."""
+    from strutopy_tpu.models.config import STMConfig
+
+    kwargs = _fit_kwargs(toy_corpus, toy_dictionary, toy_metadata)
+    cfg = STMConfig(
+        K=3, model_type="STM", init_type="random", max_em_iter=3,
+        newton_pass1_iters=5, newton_straggler_frac=1.0,
+        newton_warmup_iters=0,
+    )
+    m1 = STM(**kwargs)
+    m1.expectation_maximization(saving=False)
+    mv = STM(**{k: v for k, v in kwargs.items()
+               if k in ("documents", "dictionary", "X")},
+             config=cfg, mesh=make_mesh_2d(2, 4))
+    mv.expectation_maximization(saving=False)
+    np.testing.assert_allclose(
+        np.asarray(mv.last_bounds), np.asarray(m1.last_bounds), rtol=2e-4
+    )
+    np.testing.assert_allclose(mv.beta, m1.beta, atol=2e-4)
+
+
+@needs8
 def test_vocab_sharding_rejects_content_model(toy_corpus, toy_dictionary):
     train_docs = toy_corpus.train_docs
     n = len(train_docs)
