@@ -7,14 +7,22 @@ reachable here, so this runs the full 1M-doc corpus on the single chip
 64x relative to the pod deployment).
 
 Round-1 CAVEAT resolved (VERDICT r1 #7): the axon tunnel worker crashed
-on multi-GB host->device transfers, so the corpus is now generated ON
+on multi-GB host->device transfers, so the corpus is generated ON
 DEVICE: per-chunk, theta ~ softmax(N(0,1)) and 300 token draws per doc
-via jax.random.categorical over p = theta @ beta_true.  Each sampled
+via inverse-CDF sampling over p = theta @ beta_true.  Each sampled
 token is stored as its own count-1 entry (words (N, 300), counts all 1)
 — mathematically identical for the E-step to the merged-count layout
-(the likelihood/phi sums are linear in per-entry counts), and it skips
-host-side uniquification entirely.  The only host->device transfers are
-O(KV) (beta_true, 20 MB) and O(N) (X, 4 MB).
+(the likelihood/phi sums are linear in per-entry counts).
+
+Round-2 finding: even fully on-device, the monolithic EM step crashes
+the tunnel worker between N=500k (works, 15.4k docs/s) and N=750k —
+the (N, 300) counts array plus per-doc state and transient copies
+exceed what the worker tolerates.  So this run uses the streamed EM
+driver (strutopy_tpu/models/streaming.py): words stay device-resident
+(1.2 GB int32), the all-ones counts materialize per 250k-doc part
+(300 MB, freed after the part's E-step), and sufficient statistics
+accumulate across parts before one M-step — math identical to the
+monolithic step (tests/test_streaming.py).
 
 Writes benchmarks/results_1m.json.
 """
@@ -32,6 +40,7 @@ import numpy as np
 N, K, V, N_WORDS = 1_000_000, 100, 50_000, 300
 if len(sys.argv) > 1:
     N = int(sys.argv[1])
+N_PARTS = max(N // 250_000, 1)
 GEN_CHUNK = 5_000  # docs per on-device sampling step ((chunk, V) probs = 1 GB)
 ITERS = 4
 if "__file__" in globals() and "<" not in str(__file__):
@@ -47,9 +56,12 @@ def main():
     import jax.numpy as jnp
 
     from strutopy_tpu.models.config import STMConfig
-    from strutopy_tpu.models.em import CorpusData, make_em_step
     from strutopy_tpu.models.state import init_state
+    from strutopy_tpu.models.streaming import StreamedEM
     from strutopy_tpu.ops import mstep
+
+    n_part = N // N_PARTS
+    assert n_part % GEN_CHUNK == 0
 
     rng = np.random.default_rng(0)
     beta_true = jnp.asarray(
@@ -74,51 +86,45 @@ def main():
 
     t0 = time.time()
     keys = jax.random.split(jax.random.PRNGKey(7), N // GEN_CHUNK)
-    parts = []
-    for i in range(N // GEN_CHUNK):
-        parts.append(gen_chunk(keys[i], beta_true))
-    words = jnp.concatenate(parts, axis=0)  # (N, 300) int32, 1.2 GB on device
-    words.block_until_ready()
+    word_parts = []
+    for p in range(N_PARTS):
+        parts = [
+            gen_chunk(keys[p * (n_part // GEN_CHUNK) + i], beta_true)
+            for i in range(n_part // GEN_CHUNK)
+        ]
+        word_parts.append(jnp.concatenate(parts, axis=0))  # (n_part, 300)
+        word_parts[-1].block_until_ready()
     print(f"on-device corpus generated in {time.time()-t0:.0f}s", flush=True)
 
-    counts = jnp.ones((N, N_WORDS), jnp.float32)
-    doc_ok = jnp.ones((N,), bool)
     X = rng.integers(0, 2, N).astype(np.float64)
+    D_np, design = mstep.make_prevalence_design(X, np.ones(N, bool))
+    D_parts = [
+        jnp.asarray(D_np[p * n_part:(p + 1) * n_part], jnp.float32)
+        for p in range(N_PARTS)
+    ]
+    aspects = jnp.zeros(n_part, jnp.int32)
+    doc_ok = jnp.ones(n_part, bool)
 
-    # sort_by_difficulty off: its permuted corpus copies (words_b[perm],
-    # counts_b[perm]) double the 2.4 GB corpus footprint — at N=1M that
-    # crowds the 16 GB HBM the tunnel worker shares
+    def provider(p):
+        # counts are all 1 by construction (count-1 entry layout): they
+        # materialize per part (300 MB) and free after the E-step
+        return (word_parts[p], jnp.ones((n_part, N_WORDS), jnp.float32),
+                aspects, doc_ok, D_parts[p])
+
     cfg = STMConfig(
         K=K, model_type="STM", init_type="random", batch_size=250,
         sort_by_difficulty=False,
     )
-    D_np, design = mstep.make_prevalence_design(X, np.ones(N, bool))
-    data = CorpusData.single(
-        words=words,
-        counts=counts,
-        aspects=jnp.zeros(N, jnp.int32),
-        doc_ok=doc_ok,
-        D=jnp.asarray(D_np, jnp.float32),
-    )
-    state = init_state(jax.random.PRNGKey(0), K=K, V=V, N=N, P=D_np.shape[1])
-    # corpus-wide word counts on device (content model unused here, but
-    # make_em_step takes them)
-    wcounts = np.zeros(V)  # host-side approximation not needed for LDA beta
-    from strutopy_tpu.models.em import em_iteration
-
-    # donate the old state each step (frees ~1.2 GB of per-doc arrays
-    # in place instead of double-buffering them)
-    em = jax.jit(
-        lambda s, d: em_iteration(s, d, design, None, wcounts, cfg,
-                                  psum=lambda x: x),
-        donate_argnums=0,
-    )
+    sem = StreamedEM(cfg, design, provider, n_parts=N_PARTS)
+    part_states = sem.init_parts(jax.random.PRNGKey(0), K=K, V=V)
+    shared = init_state(jax.random.PRNGKey(0), K=K, V=V, N=n_part,
+                        P=D_np.shape[1])
 
     times, bounds = [], []
     for it in range(ITERS):
         t0 = time.time()
-        state = em(state, data)
-        b = float(np.asarray(state.bound))
+        shared, part_states = sem.em_iteration(shared, part_states)
+        b = float(np.asarray(shared.bound))
         dt = time.time() - t0
         times.append(dt)
         bounds.append(b)
@@ -126,7 +132,8 @@ def main():
 
     result = {
         "config": {"N": N, "K": K, "V": V, "n_words": N_WORDS,
-                   "layout": "count-1 entries, on-device DGP"},
+                   "n_parts": N_PARTS,
+                   "layout": "count-1 entries, on-device DGP, streamed EM"},
         "em_iter_seconds": [round(t, 2) for t in times],
         "steady_docs_per_sec": round(N / min(times[1:]), 1) if len(times) > 1 else None,
         "bounds": bounds,
