@@ -69,6 +69,7 @@ class STM:
         batch_size: Optional[int] = None,
         seed: int = 123456,
         beta_smoothing: float = 0.0,
+        stream_parts: int = 0,
     ):
         if config is None:
             config = STMConfig(
@@ -118,8 +119,32 @@ class STM:
             raise ValueError(
                 "corpus contains no non-empty documents; nothing to fit"
             )
-        n_dev = 1 if mesh is None else mesh.devices.size
-        max_buckets = config.max_buckets if config.auto_bucket else 1
+        self._stream_parts = int(stream_parts or 0)
+        if self._stream_parts > 1:
+            # out-of-core path (models/streaming.py): the corpus stays
+            # in host RAM, one part at a time moves to the device
+            if mesh is not None:
+                raise ValueError(
+                    "stream_parts streams parts through ONE device; "
+                    "combine with mesh sharding is not supported"
+                )
+            if config.content or not config.lda_beta:
+                raise NotImplementedError(
+                    "streamed EM supports the LDA-style beta update only"
+                )
+        n_dev = (
+            self._stream_parts
+            if self._stream_parts > 1
+            else (1 if mesh is None else mesh.devices.size)
+        )
+        # streaming needs equal single-bucket parts (one compiled E-step
+        # graph serves every part); bucket padding to a multiple of
+        # n_devices*batch gives the part shape for free
+        max_buckets = (
+            1
+            if self._stream_parts > 1 or not config.auto_bucket
+            else config.max_buckets
+        )
         plan = make_bucket_plan(
             corpus, config.batch_size, n_devices=n_dev, max_buckets=max_buckets
         )
@@ -210,6 +235,24 @@ class STM:
             ),
         )
 
+        if self._stream_parts > 1:
+            self._data = None
+            self._em_step = self._make_streamed_step(
+                config, buckets[0], aspect_buckets[0], D_buckets[0]
+            )
+            self._em_step_cold = (
+                self._make_streamed_step(
+                    config.replace(newton_pass1_iters=0),
+                    buckets[0], aspect_buckets[0], D_buckets[0],
+                )
+                if config.newton_pass1_iters > 0 and config.newton_warmup_iters > 0
+                else None
+            )
+            self.last_bounds = []
+            self.time_processed = None
+            self.docs_per_sec = None
+            return
+
         self._data = CorpusData(
             words=tuple(jnp.asarray(b.words) for b in buckets),
             counts=tuple(jnp.asarray(b.counts) for b in buckets),
@@ -250,6 +293,49 @@ class STM:
         self.last_bounds: list = []
         self.time_processed: Optional[float] = None
         self.docs_per_sec: Optional[float] = None
+
+    def _make_streamed_step(self, cfg, bucket, aspects_np, D_bucket):
+        """(state, _) -> state over host-resident corpus parts.
+
+        Wraps models/streaming.py::StreamedEM behind the same step
+        signature as make_em_step, so expectation_maximization (incl.
+        checkpoints/resume and the two-pass warm-up switch) works
+        unchanged: per-part state slices come from the assembled state
+        each call, and the new parts concatenate back."""
+        from strutopy_tpu.models.streaming import StreamedEM
+
+        P = self._stream_parts
+        n_total = bucket.words.shape[0]
+        part = n_total // P
+        W, C, OK = bucket.words, bucket.counts, bucket.doc_ok
+        A = np.ascontiguousarray(aspects_np, np.int32)
+        D32 = np.ascontiguousarray(D_bucket, np.float32)
+
+        def provider(p):
+            s = slice(p * part, (p + 1) * part)
+            return (W[s], C[s], A[s], OK[s], D32[s])
+
+        sem = StreamedEM(cfg, self._design, provider, n_parts=P)
+
+        def step(state, _data):
+            parts = [
+                state._replace(
+                    eta=state.eta[i * part:(i + 1) * part],
+                    mu=state.mu[i * part:(i + 1) * part],
+                    theta=state.theta[i * part:(i + 1) * part],
+                    opt_iters=state.opt_iters[i * part:(i + 1) * part],
+                )
+                for i in range(P)
+            ]
+            shared, new_parts = sem.em_iteration(state, parts)
+            return shared._replace(
+                eta=jnp.concatenate([s.eta for s in new_parts]),
+                mu=jnp.concatenate([s.mu for s in new_parts]),
+                theta=jnp.concatenate([s.theta for s in new_parts]),
+                opt_iters=jnp.concatenate([s.opt_iters for s in new_parts]),
+            )
+
+        return step
 
     # ------------------------------------------------------------------
     # fitting

@@ -117,6 +117,49 @@ def test_streamed_provider_callable():
     assert calls == [0, 0, 1, 0, 1]  # init_parts peeks part 0 first
 
 
+def test_stm_stream_parts_matches_plain(toy_corpus, toy_dictionary, toy_metadata):
+    """STM(stream_parts=N): the out-of-core surface must reproduce the
+    in-memory fit (same API, corpus stays host-resident in parts)."""
+    from strutopy_tpu.models.stm import STM
+
+    train_docs = toy_corpus.train_docs
+    kwargs = dict(
+        documents=train_docs,
+        dictionary=toy_dictionary,
+        K=3,
+        X=toy_metadata[: len(train_docs)],
+        max_em_iter=3,
+        init_type="random",
+        model_type="STM",
+        seed=123456,
+    )
+    m1 = STM(**kwargs)
+    m1.expectation_maximization(saving=False)
+    ms = STM(**kwargs, stream_parts=3)
+    assert ms._data is None  # corpus not device-resident
+    ms.expectation_maximization(saving=False)
+    np.testing.assert_allclose(
+        np.asarray(ms.last_bounds), np.asarray(m1.last_bounds), rtol=2e-4
+    )
+    np.testing.assert_allclose(ms.beta, m1.beta, atol=2e-4)
+    np.testing.assert_allclose(ms.theta, m1.theta, atol=2e-3)
+
+
+def test_stm_stream_parts_rejects_mesh(toy_corpus, toy_dictionary):
+    from strutopy_tpu.models.stm import STM
+    from strutopy_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="stream_parts"):
+        STM(
+            documents=toy_corpus.train_docs,
+            dictionary=toy_dictionary,
+            K=3,
+            init_type="random",
+            stream_parts=2,
+            mesh=make_mesh(2),
+        )
+
+
 def test_streamed_rejects_content():
     cfg = STMConfig(K=3, content=True, A=2, lda_beta=False)
     with pytest.raises(NotImplementedError, match="streamed"):
