@@ -42,7 +42,7 @@ if len(sys.argv) > 1:
     N = int(sys.argv[1])
 N_PARTS = max(N // 250_000, 1)
 GEN_CHUNK = 5_000  # docs per on-device sampling step ((chunk, V) probs = 1 GB)
-ITERS = 4
+ITERS = 5  # 2 cold + 3 two-pass iterations
 if "__file__" in globals() and "<" not in str(__file__):
     HERE = os.path.dirname(os.path.abspath(__file__))
 else:  # run via stdin
@@ -111,11 +111,17 @@ def main():
         return (word_parts[p], jnp.ones((n_part, N_WORDS), jnp.float32),
                 aspects, doc_ok, D_parts[p])
 
+    # two-pass straggler schedule from iteration 2 (cold iterations run
+    # the single-pass graph — RESULTS.md "Two-pass straggler schedule")
     cfg = STMConfig(
         K=K, model_type="STM", init_type="random", batch_size=250,
         sort_by_difficulty=False,
+        newton_pass1_iters=6, newton_straggler_frac=0.25,
     )
+    WARMUP = 2
     sem = StreamedEM(cfg, design, provider, n_parts=N_PARTS)
+    sem_cold = StreamedEM(cfg.replace(newton_pass1_iters=0), design,
+                          provider, n_parts=N_PARTS)
     part_states = sem.init_parts(jax.random.PRNGKey(0), K=K, V=V)
     shared = init_state(jax.random.PRNGKey(0), K=K, V=V, N=n_part,
                         P=D_np.shape[1])
@@ -123,7 +129,8 @@ def main():
     times, bounds = [], []
     for it in range(ITERS):
         t0 = time.time()
-        shared, part_states = sem.em_iteration(shared, part_states)
+        stepper = sem_cold if it < WARMUP else sem
+        shared, part_states = stepper.em_iteration(shared, part_states)
         b = float(np.asarray(shared.bound))
         dt = time.time() - t0
         times.append(dt)

@@ -68,7 +68,11 @@ def main():
 
     pc = PaddedCorpus(words=words, counts=counts,
                       doc_ok=np.ones(N, bool), V=V)
-    cfg = STMConfig(K=K, model_type="STM", init_type="random", batch_size=250)
+    # two-pass straggler schedule after 2 cold iterations
+    cfg = STMConfig(K=K, model_type="STM", init_type="random", batch_size=250,
+                    newton_pass1_iters=6, newton_straggler_frac=0.25)
+    cfg_cold = cfg.replace(newton_pass1_iters=0)
+    WARMUP = 2
     # N=100k = 400 chunks of 250
     D_np, design = mstep.make_prevalence_design(X, pc.doc_ok)
     data = CorpusData.single(
@@ -80,11 +84,12 @@ def main():
     )
     state = init_state(jax.random.PRNGKey(0), K=K, V=V, N=pc.N, P=D_np.shape[1])
     em = make_em_step(cfg, design, None, pc.word_counts())
+    em_cold = make_em_step(cfg_cold, design, None, pc.word_counts())
 
     times, bounds = [], []
     for it in range(ITERS):
         t0 = time.time()
-        state = em(state, data)
+        state = (em_cold if it < WARMUP else em)(state, data)
         b = float(np.asarray(state.bound))
         dt = time.time() - t0
         times.append(dt)
