@@ -40,6 +40,11 @@ import numpy as np
 N, K, V, N_WORDS = 1_000_000, 100, 50_000, 300
 if len(sys.argv) > 1:
     N = int(sys.argv[1])
+# --two-pass: enable the straggler schedule after 2 cold iterations.
+# Off by default: at N=1M the extra compiled graph pair made the
+# tunnel worker hang twice in round 2 (the single-graph config is the
+# recorded results_1m.json); re-measure when the worker is fresh.
+TWO_PASS = "--two-pass" in sys.argv
 N_PARTS = max(N // 250_000, 1)
 GEN_CHUNK = 5_000  # docs per on-device sampling step ((chunk, V) probs = 1 GB)
 ITERS = 5  # 2 cold + 3 two-pass iterations
@@ -116,12 +121,17 @@ def main():
     cfg = STMConfig(
         K=K, model_type="STM", init_type="random", batch_size=250,
         sort_by_difficulty=False,
-        newton_pass1_iters=6, newton_straggler_frac=0.25,
+        newton_pass1_iters=6 if TWO_PASS else 0,
+        newton_straggler_frac=0.25,
     )
-    WARMUP = 2
+    WARMUP = 2 if TWO_PASS else 0
     sem = StreamedEM(cfg, design, provider, n_parts=N_PARTS)
-    sem_cold = StreamedEM(cfg.replace(newton_pass1_iters=0), design,
-                          provider, n_parts=N_PARTS)
+    sem_cold = (
+        StreamedEM(cfg.replace(newton_pass1_iters=0), design,
+                   provider, n_parts=N_PARTS)
+        if TWO_PASS
+        else sem
+    )
     part_states = sem.init_parts(jax.random.PRNGKey(0), K=K, V=V)
     shared = init_state(jax.random.PRNGKey(0), K=K, V=V, N=n_part,
                         P=D_np.shape[1])
@@ -139,7 +149,7 @@ def main():
 
     result = {
         "config": {"N": N, "K": K, "V": V, "n_words": N_WORDS,
-                   "n_parts": N_PARTS,
+                   "n_parts": N_PARTS, "two_pass": TWO_PASS,
                    "layout": "count-1 entries, on-device DGP, streamed EM"},
         "em_iter_seconds": [round(t, 2) for t in times],
         "steady_docs_per_sec": round(N / min(times[1:]), 1) if len(times) > 1 else None,
