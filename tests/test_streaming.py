@@ -145,6 +145,32 @@ def test_stm_stream_parts_matches_plain(toy_corpus, toy_dictionary, toy_metadata
     np.testing.assert_allclose(ms.theta, m1.theta, atol=2e-3)
 
 
+def test_stm_stream_parts_checkpoint_resume(
+    tmp_path, toy_corpus, toy_dictionary, toy_metadata
+):
+    """Interrupt + resume must work through the streamed step closure
+    (state slices per part from the restored full state)."""
+    from strutopy_tpu.models.stm import STM
+
+    train = toy_corpus.train_docs
+    kw = dict(
+        documents=train, dictionary=toy_dictionary, K=3,
+        X=toy_metadata[: len(train)], init_type="random",
+        model_type="STM", seed=123456, stream_parts=2,
+    )
+    ckpt = str(tmp_path / "state.npz")
+    m1 = STM(max_em_iter=4, **kw)
+    m1.expectation_maximization(saving=False)
+
+    m2a = STM(max_em_iter=2, **kw)
+    m2a.expectation_maximization(saving=False, checkpoint_path=ckpt)
+    m2b = STM(max_em_iter=4, **kw)
+    m2b.expectation_maximization(saving=False, checkpoint_path=ckpt, resume=True)
+    assert len(m2b.last_bounds) == len(m1.last_bounds)
+    np.testing.assert_allclose(m2b.last_bounds, m1.last_bounds, rtol=1e-5)
+    np.testing.assert_allclose(m2b.beta, m1.beta, atol=1e-5)
+
+
 def test_stm_stream_parts_rejects_mesh(toy_corpus, toy_dictionary):
     from strutopy_tpu.models.stm import STM
     from strutopy_tpu.parallel.mesh import make_mesh
