@@ -65,8 +65,13 @@ def main():
     from strutopy_tpu.models.streaming import StreamedEM
     from strutopy_tpu.ops import mstep
 
+    if N % N_PARTS or (N // N_PARTS) % GEN_CHUNK:
+        raise SystemExit(
+            f"N={N} must be divisible by n_parts={N_PARTS} and the part "
+            f"size by GEN_CHUNK={GEN_CHUNK} (otherwise the remainder docs "
+            "would be silently dropped while design.n_docs counts them)"
+        )
     n_part = N // N_PARTS
-    assert n_part % GEN_CHUNK == 0
 
     rng = np.random.default_rng(0)
     beta_true = jnp.asarray(

@@ -8,7 +8,7 @@ v5e roofline (peak ~197 bf16 TFLOP/s MXU, ~819 GB/s HBM).  Answers
 the question that decides whether the next lever is a fusion/Pallas
 kernel (HBM-bound) or algorithmic (FLOP-bound).
 
-Writes benchmarks/results_roofline.json.
+Usage: roofline.py [K]  ->  benchmarks/results_roofline.json
 """
 
 import json
@@ -24,10 +24,8 @@ import numpy as np
 HERE = (os.path.dirname(os.path.abspath(__file__))
         if "__file__" in globals() and "<" not in str(__file__)
         else os.path.join(os.getcwd(), "benchmarks"))
-OUT = os.path.join(HERE, "results_roofline.json")
-
-sys.path.insert(0, os.path.dirname(HERE))
-from scaling import corpus  # noqa: E402
+sys.path.insert(0, HERE)
+from bench_common import warmed_state  # noqa: E402
 
 V5E_PEAK_BF16_TFLOPS = 197.0
 V5E_PEAK_HBM_GBS = 819.0
@@ -35,40 +33,21 @@ V5E_PEAK_HBM_GBS = 819.0
 
 def main():
     import jax
-    import jax.numpy as jnp
 
-    from strutopy_tpu.corpus.bow import pad_corpus
-    from strutopy_tpu.models.config import STMConfig
-    from strutopy_tpu.models.em import CorpusData, make_em_step, local_estep_stats
-    from strutopy_tpu.models.state import init_state
-    from strutopy_tpu.ops import mstep
+    from strutopy_tpu.models.em import local_estep_stats
 
     K = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     V, N, n_words = 10_000, 4096, 300
     B = 64 if K > 150 else 256
+    cfg_kw = dict(pallas_cg=K > 150, pallas_block=32,
+                  newton_pass1_iters=6, newton_straggler_frac=0.25)
 
-    docs, X = corpus(K, V, N, n_words)
-    pc = pad_corpus(docs, V=V)
-    cfg = STMConfig(K=K, model_type="STM", init_type="random", batch_size=B,
-                    pallas_cg=K > 150, pallas_block=32,
-                    newton_pass1_iters=6, newton_straggler_frac=0.25)
-    D_np, design = mstep.make_prevalence_design(X, pc.doc_ok)
-    data = CorpusData.single(
-        words=jnp.asarray(pc.words),
-        counts=jnp.asarray(pc.counts),
-        aspects=jnp.zeros(pc.N, jnp.int32),
-        doc_ok=jnp.asarray(pc.doc_ok),
-        D=jnp.asarray(D_np, jnp.float32),
+    state, data, pc, design, make_cfg = warmed_state(
+        K, V, N, n_words, B, cfg_kw
     )
-    state = init_state(jax.random.PRNGKey(0), K=K, V=V, N=pc.N, P=D_np.shape[1])
-    em = make_em_step(cfg, design, None, pc.word_counts())
-    for _ in range(5):
-        state = em(state, data)
-    jax.block_until_ready(state.bound)
-
+    cfg = make_cfg()
     estep = jax.jit(lambda s, d: local_estep_stats(s, d, cfg)[0].bound)
-    lowered = estep.lower(state, data)
-    compiled = lowered.compile()
+    compiled = estep.lower(state, data).compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
@@ -100,7 +79,7 @@ def main():
                  "registers/VMEM; pct_peak_hbm is an upper bound on "
                  "actual HBM pressure"),
     }
-    with open(OUT, "w") as f:
+    with open(os.path.join(HERE, "results_roofline.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
 

@@ -45,10 +45,18 @@ def _load() -> Optional[ctypes.CDLL]:
         makefile = os.path.join(_NATIVE_DIR, "Makefile")
         if os.path.exists(makefile):
             try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR, "-B"], check=True,
-                    capture_output=True, timeout=120,
-                )
+                # serialize concurrent builders: without the lock, two
+                # processes can run make on the same .so while a third
+                # dlopens a half-written file
+                import fcntl
+
+                with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lk:
+                    fcntl.flock(lk, fcntl.LOCK_EX)
+                    if _stale():  # may have been rebuilt while we waited
+                        subprocess.run(
+                            ["make", "-C", _NATIVE_DIR, "-B"], check=True,
+                            capture_output=True, timeout=120,
+                        )
             except Exception as e:  # no toolchain — fall back to python
                 logger.debug("native ingest build failed: %s", e)
                 return None
@@ -213,6 +221,11 @@ def build_bow(texts, stopwords, min_len: int = 2, min_doc_freq: int = 1,
         import re
 
         _WS_RE = re.compile(r"\s")
+    if stopwords and any("\n" in w for w in stopwords):
+        # the stopword blob is newline-delimited; an embedded newline
+        # would silently split one stopword into two — use the python
+        # path, which matches whole tokens only
+        return None
     encs = [_WS_RE.sub(" ", t.lower()).encode("utf-8") for t in texts]
     n = len(encs)
     offs = np.zeros(n + 1, np.int64)

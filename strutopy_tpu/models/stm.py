@@ -132,11 +132,20 @@ class STM:
                 raise NotImplementedError(
                     "streamed EM supports the LDA-style beta update only"
                 )
-        n_dev = (
-            self._stream_parts
-            if self._stream_parts > 1
-            else (1 if mesh is None else mesh.devices.size)
-        )
+        if self._stream_parts > 1:
+            n_dev = self._stream_parts
+        elif mesh is None:
+            n_dev = 1
+        else:
+            # bucket sizes must be multiples of the DOC-axis extent (the
+            # number of document shards) — NOT the total device count: on
+            # a 2-D (docs, vocab) mesh the vocab axis replicates documents,
+            # and sizing the plan by devices.size would make P(DOC_AXIS)
+            # shards non-bucket-contiguous, silently mispairing eta/mu
+            # rows with documents inside shard_map
+            from strutopy_tpu.parallel.mesh import DOC_AXIS
+
+            n_dev = mesh.shape[DOC_AXIS]
         # streaming needs equal single-bucket parts (one compiled E-step
         # graph serves every part); bucket padding to a multiple of
         # n_devices*batch gives the part shape for free
@@ -301,7 +310,14 @@ class STM:
         signature as make_em_step, so expectation_maximization (incl.
         checkpoints/resume and the two-pass warm-up switch) works
         unchanged: per-part state slices come from the assembled state
-        each call, and the new parts concatenate back."""
+        each call, and the new parts concatenate back.
+
+        Note: the per-iteration reassembly transiently holds ~2x the
+        per-doc state (eta/mu/theta) on device.  That state is small
+        next to the corpus the streaming avoids keeping resident
+        (1.2 GB vs 2.4+ GB at N=1M), but for the tightest memory budget
+        drive :class:`StreamedEM` directly and keep part states
+        resident (benchmarks/million_docs.py does)."""
         from strutopy_tpu.models.streaming import StreamedEM
 
         P = self._stream_parts

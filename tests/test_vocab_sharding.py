@@ -106,6 +106,40 @@ def test_vocab_sharded_two_pass(toy_corpus, toy_dictionary, toy_metadata):
 
 
 @needs8
+def test_vocab_sharded_multi_bucket(toy_metadata):
+    """Regression: on a 2-D mesh the bucket plan must be sized by the
+    DOC-axis extent, not the total device count — otherwise P(docs)
+    state shards are not bucket-contiguous and eta/mu rows silently
+    pair with the wrong documents (theta diverged by 0.42 before the
+    fix)."""
+    rng = np.random.default_rng(0)
+    V = 360  # divisible by the 4-way vocab axis
+    docs = []
+    for _ in range(32):  # short docs -> bucket 0 (L=128)
+        ids = rng.choice(200, 10, replace=False)
+        docs.append([(int(i), int(rng.integers(1, 4))) for i in sorted(ids)])
+    for _ in range(32):  # long docs -> bucket 1 (L=256)
+        ids = rng.choice(V, 140, replace=False)
+        docs.append([(int(i), int(rng.integers(1, 3))) for i in sorted(ids)])
+    words = [f"w{i}" for i in range(V)]
+    X = rng.integers(0, 2, len(docs))
+    kwargs = dict(
+        documents=docs, dictionary=words, K=3, X=X, max_em_iter=3,
+        init_type="random", model_type="STM", seed=123456,
+    )
+    m1 = STM(**kwargs)
+    assert m1._plan.n_buckets >= 2  # the corpus must actually bucket
+    m1.expectation_maximization(saving=False)
+    mv = STM(**kwargs, mesh=make_mesh_2d(2, 4))
+    mv.expectation_maximization(saving=False)
+    np.testing.assert_allclose(
+        np.asarray(mv.last_bounds), np.asarray(m1.last_bounds), rtol=2e-4
+    )
+    np.testing.assert_allclose(mv.theta, m1.theta, atol=2e-3)
+    np.testing.assert_allclose(mv.beta, m1.beta, atol=2e-4)
+
+
+@needs8
 def test_vocab_sharding_rejects_content_model(toy_corpus, toy_dictionary):
     train_docs = toy_corpus.train_docs
     n = len(train_docs)
