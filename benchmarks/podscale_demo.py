@@ -12,6 +12,7 @@ Run from the repo root: python - < benchmarks/podscale_demo.py
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/strutopy_jax_cache")
@@ -20,9 +21,14 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 N, K, V, N_WORDS = 100_000, 100, 50_000, 300
+if len(sys.argv) > 1:
+    N = int(sys.argv[1])
 ITERS = 5
 HERE = os.path.dirname(os.path.abspath(__file__)) or "benchmarks"
-OUT = os.path.join(HERE, "results_podscale.json")
+OUT = os.path.join(
+    HERE,
+    "results_podscale.json" if N == 100_000 else f"results_{N // 1000}k.json",
+)
 
 
 def main():
