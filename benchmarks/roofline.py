@@ -46,6 +46,13 @@ def main():
         K, V, N, n_words, B, cfg_kw
     )
     cfg = make_cfg()
+    # XLA's cost model counts while_loop bodies ONCE; the Newton loop
+    # runs ~mean_iters times, so scale flops/bytes by the measured mean
+    # (approximate: the loop body dominates the E-step's cost)
+    iters = jax.jit(
+        lambda s, d: local_estep_stats(s, d, cfg)[3].mean()
+    )(state, data)
+    mean_iters = float(np.asarray(iters))
     estep = jax.jit(lambda s, d: local_estep_stats(s, d, cfg)[0].bound)
     compiled = estep.lower(state, data).compile()
     ca = compiled.cost_analysis()
@@ -61,23 +68,28 @@ def main():
         float(np.asarray(estep(state, data)))
         best = min(best, time.time() - t0)
 
-    tflops_achieved = flops / best / 1e12
-    gbs_achieved = bytes_acc / best / 1e9
+    # loop-scaled estimates: multiply the one-body cost by mean iters
+    # (lower bound on work actually executed; finalize/gather amortize)
+    scale = max(mean_iters, 1.0)
+    tflops_achieved = flops * scale / best / 1e12
+    gbs_achieved = bytes_acc * scale / best / 1e9
     result = {
         "config": {"K": K, "V": V, "N": N, "batch": B},
         "seconds": round(best, 4),
         "docs_per_sec": round(pc.N / best, 1),
-        "xla_flops": flops,
-        "xla_bytes_accessed": bytes_acc,
-        "achieved_tflops": round(tflops_achieved, 2),
-        "achieved_hbm_gbs": round(gbs_achieved, 1),
+        "mean_newton_iters": round(mean_iters, 2),
+        "xla_flops_one_loop_body": flops,
+        "xla_bytes_one_loop_body": bytes_acc,
+        "achieved_tflops_loop_scaled": round(tflops_achieved, 2),
+        "achieved_hbm_gbs_loop_scaled": round(gbs_achieved, 1),
         "pct_peak_bf16_mxu": round(100 * tflops_achieved / V5E_PEAK_BF16_TFLOPS, 1),
         "pct_peak_hbm": round(100 * gbs_achieved / V5E_PEAK_HBM_GBS, 1),
         "arithmetic_intensity_flops_per_byte": round(flops / max(bytes_acc, 1), 2),
-        "note": ("bytes accessed is XLA's pre-fusion estimate and "
-                 "overcounts HBM traffic that fusion keeps in "
-                 "registers/VMEM; pct_peak_hbm is an upper bound on "
-                 "actual HBM pressure"),
+        "note": ("XLA's cost model counts while_loop bodies once, so "
+                 "flops/bytes are scaled by the measured mean Newton "
+                 "iterations; bytes accessed is also the PRE-fusion "
+                 "estimate and overcounts HBM traffic that fusion keeps "
+                 "in registers/VMEM — pct_peak_hbm is an upper bound"),
     }
     with open(os.path.join(HERE, "results_roofline.json"), "w") as f:
         json.dump(result, f, indent=2)
