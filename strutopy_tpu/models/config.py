@@ -94,6 +94,10 @@ class STMConfig:
     # similarly-hard documents (each chunk's while_loop runs to its own
     # max, not the corpus max)
     sort_by_difficulty: bool = True
+    # unroll factor for the E-step's over-chunks lax.scan: >1 lets XLA
+    # interleave consecutive chunks' small ops (the roofline analysis
+    # shows the E-step is op-granularity-bound, not wall-bound)
+    scan_unroll: int = 1
 
     def __post_init__(self):
         if self.K < 2:

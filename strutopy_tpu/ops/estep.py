@@ -549,7 +549,7 @@ def _scatter_phi(beta_ss, phi, words, aspects, vocab_axis=None):
 def _two_pass_estep(
     beta, mu, eta0, siginv, sigmaentropy, words, counts, aspects, doc_ok,
     cfg: NewtonConfig, B: int, pass1_iters: int, straggler_frac: float,
-    vocab_axis,
+    vocab_axis, scan_unroll: int = 1,
 ) -> EStepResult:
     """Two-pass difficulty schedule (TODO r1: the 1.45x straggler bound).
 
@@ -590,7 +590,8 @@ def _two_pass_estep(
         if done_s is None:
             done_s = jnp.zeros(w_s.shape[:2], bool)
         _, (eta, it, done) = jax.lax.scan(
-            fn, None, (w_s, c_s, mu_s, eta_s, asp_s, done_s)
+            fn, None, (w_s, c_s, mu_s, eta_s, asp_s, done_s),
+            unroll=scan_unroll,
         )
         n = w_s.shape[0] * B
         return eta.reshape(n, Km1), it.reshape(n), done.reshape(n)
@@ -642,6 +643,7 @@ def _two_pass_estep(
         (beta_ss0, sigma_ss0),
         (chunked(words), chunked(counts), chunked(mu), chunked(eta),
          chunked(aspects), chunked(doc_ok)),
+        unroll=scan_unroll,
     )
     return EStepResult(
         beta_ss=beta_ss,
@@ -657,7 +659,7 @@ def _two_pass_estep(
     jax.jit,
     static_argnames=(
         "cfg", "batch_size", "use_pallas", "pallas_block", "vocab_axis",
-        "pass1_iters", "straggler_frac",
+        "pass1_iters", "straggler_frac", "scan_unroll",
     ),
 )
 def run_estep(
@@ -677,6 +679,7 @@ def run_estep(
     vocab_axis=None,
     pass1_iters: int = 0,
     straggler_frac: float = 0.3,
+    scan_unroll: int = 1,
 ) -> EStepResult:
     """E-step over a (shard of a) corpus.
 
@@ -704,6 +707,7 @@ def run_estep(
         return _two_pass_estep(
             beta, mu, eta0, siginv, sigmaentropy, words, counts, aspects,
             doc_ok, cfg, B, pass1_iters, straggler_frac, vocab_axis,
+            scan_unroll,
         )
     C = N // B
     K = beta.shape[-2]
@@ -752,7 +756,7 @@ def run_estep(
         return (beta_ss, sigma_ss), (eta, theta, jnp.sum(bound_d), iters)
 
     (beta_ss, sigma_ss), (eta, theta, bounds, iters) = jax.lax.scan(
-        chunk_fn, (beta_ss0, sigma_ss0), chunks
+        chunk_fn, (beta_ss0, sigma_ss0), chunks, unroll=scan_unroll
     )
     return EStepResult(
         beta_ss=beta_ss,
