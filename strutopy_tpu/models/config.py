@@ -79,6 +79,10 @@ class STMConfig:
     pallas_fgh: bool = False
     pallas_cg: bool = False
     pallas_ls: bool = False
+    # one fused kernel per Newton iteration (f/g/H + CG + Armijo +
+    # update; beta_doc read from HBM once per iteration instead of
+    # twice); while_loop stays in XLA.  Supersedes the stage flags.
+    pallas_iter: bool = False
     pallas_block: int = 8
     # bf16 beta_doc for the Newton search path (finalize stays f32)
     newton_bf16_beta: bool = False

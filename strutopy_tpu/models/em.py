@@ -70,6 +70,7 @@ def _newton_cfg(cfg: STMConfig) -> NewtonConfig:
         pallas_fgh=cfg.pallas_fgh,
         pallas_cg=cfg.pallas_cg,
         pallas_ls=cfg.pallas_ls,
+        pallas_iter=cfg.pallas_iter,
         pallas_block=cfg.pallas_block,
         bf16_beta=cfg.newton_bf16_beta,
         nu_method=cfg.nu_method,

@@ -78,6 +78,12 @@ class NewtonConfig(NamedTuple):
     pallas_fgh: bool = False  # fused f/g/H over the (B, K, L) block
     pallas_cg: bool = False  # CG with VMEM-resident Hessian
     pallas_ls: bool = False  # fused Armijo sweep objectives
+    # the WHOLE Newton iteration (f/g/H + CG + Armijo + update) as ONE
+    # kernel, sharing the beta_doc VMEM block between the objective
+    # pass and the T-candidate sweep (XLA can't fuse across the CG /
+    # step-selection in between); the while_loop stays in XLA.
+    # Supersedes the three stage flags when set.
+    pallas_iter: bool = False
     pallas_block: int = 8  # docs per kernel program
     # store the Newton loop's beta_doc operand in bfloat16: halves the
     # dominant in-loop HBM read ((B, K, L) per f/g/H call and per Armijo
@@ -298,6 +304,15 @@ def _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg: NewtonConfig,
 
     def body(st):
         eta, it, done, n_iters = st
+        if cfg.pallas_iter:
+            from strutopy_tpu.ops.pallas_stages import pallas_iter_impl
+
+            eta, done, advance = pallas_iter_impl(
+                eta, beta_doc, counts, mu, siginv, ts, done,
+                grad_tol=cfg.grad_tol, cg_iters=cg_iters,
+                bf16=cfg.bf16_hessian, block_docs=cfg.pallas_block,
+            )
+            return (eta, it + 1, done, n_iters + advance.astype(jnp.int32))
         if cfg.pallas_fgh:
             from strutopy_tpu.ops.pallas_stages import pallas_fgh_impl
 

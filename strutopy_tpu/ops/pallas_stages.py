@@ -282,6 +282,198 @@ def _ls_kernel(siginv_ref, ts_ref, eta_ref, p_ref, beta_doc_ref, counts_ref,
         fs_ref[b, :] = quad - ll + Nd[b] * lse
 
 
+def _iter_kernel(siginv_ref, ts_ref, eta_ref, mu_ref, done_ref,
+                 beta_doc_ref, counts_ref, eta_out_ref, flags_ref, *,
+                 grad_tol: float, cg_iters: int, bf16: bool):
+    """ONE full damped-Newton iteration for a doc block, fused.
+
+    f/g/H + Jacobi-CG direction + parallel Armijo sweep + the step
+    update in a single kernel: the (Bb, K, L) beta_doc block is read
+    from HBM once and shared by the objective/gradient pass and the
+    T-candidate sweep (XLA cannot fuse those two — the CG solve and
+    the step-selection control flow sit between them).  The Newton
+    while_loop stays in XLA (the round-1 whole-loop kernel crashed
+    Mosaic); semantics match estep._batched_newton's body exactly.
+
+    flags_ref[:, 0] = done_out, [:, 1] = advance (both 0/1 f32).
+    """
+    eta = eta_ref[:]  # (Bb, Km1)
+    counts = counts_ref[:]
+    mu = mu_ref[:]
+    siginv = siginv_ref[:]
+    done_in = done_ref[:][:, 0] > 0.5  # (Bb,)
+    ts = ts_ref[0]  # (T,)
+    Bb, Km1 = eta.shape
+    K = Km1 + 1
+    T = ts.shape[0]
+
+    eta_full = jnp.concatenate([eta, jnp.zeros((Bb, 1), eta.dtype)], axis=1)
+    m = jnp.max(eta_full, axis=1, keepdims=True)
+    e = jnp.exp(eta_full - m)
+    sum_e = jnp.sum(e, axis=1, keepdims=True)
+    theta = e / sum_e
+    Nd = jnp.sum(counts, axis=1)
+    cmask = counts > 0
+    diff = eta - mu
+    sdiff = diff @ siginv
+    lse = (m + jnp.log(sum_e))[:, 0]
+    quad = 0.5 * jnp.sum(diff * sdiff, axis=1)
+    sqrtc = jnp.sqrt(jnp.maximum(counts, 0.0))
+    eye = jnp.eye(K, dtype=jnp.float32)
+
+    # ----- f / g / H (as _fgh_kernel) -----
+    lls, gs, Hs = [], [], []
+    for b in range(Bb):
+        beta_b = beta_doc_ref[b]  # (K, L) VMEM
+        a = e[b][:, None] * beta_b
+        s = jnp.sum(a, axis=0)
+        s_safe = jnp.maximum(s, jnp.asarray(1e-35, s.dtype))
+        lls.append(
+            jnp.sum(jnp.where(cmask[b], counts[b] * (jnp.log(s_safe) + m[b, 0]), 0.0))
+        )
+        phi_hat = jnp.where(cmask[b][None, :], a / s_safe[None, :], 0.0)
+        q = jnp.sum(phi_hat * counts[b][None, :], axis=1)
+        g_full = Nd[b] * theta[b] - q
+        gs.append(sdiff[b] + g_full[:Km1])
+        Bmat = phi_hat * sqrtc[b][None, :]
+        Bm = Bmat.astype(jnp.bfloat16) if bf16 else Bmat
+        Hll = jax.lax.dot_general(
+            Bm, Bm,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        Hll = Hll - (Nd[b] * theta[b])[:, None] * theta[b][None, :]
+        Hll = Hll + g_full[:, None] * eye
+        Hs.append(Hll[:Km1, :Km1] + siginv)
+
+    f = quad - jnp.stack(lls) + Nd * lse  # (Bb,)
+    g = jnp.stack(gs)  # (Bb, Km1)
+    conv = jnp.max(jnp.abs(g), axis=1) <= grad_tol
+
+    # ----- CG direction (as _cg_kernel) -----
+    diag = jnp.stack([jnp.sum(H * jnp.eye(Km1, dtype=H.dtype), axis=1) for H in Hs])
+    dinv = 1.0 / jnp.maximum(jnp.abs(diag), 1e-20)
+    Hcg = [H.astype(jnp.bfloat16) for H in Hs] if bf16 else Hs
+
+    def bmv(p):
+        return jnp.stack([
+            jax.lax.dot_general(
+                p[b][None, :], Hcg[b],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[0]
+            for b in range(Bb)
+        ])
+
+    r = -g
+    z = dinv * r
+    p = z
+    rz = jnp.sum(r * z, axis=1)
+    x = jnp.zeros_like(g)
+    active = jnp.ones((Bb,), jnp.bool_)
+    for _ in range(cg_iters):
+        Ap = bmv(p)
+        pAp = jnp.sum(p * Ap, axis=1)
+        active = jnp.logical_and(active, pAp > 1e-30)
+        alpha = rz / jnp.where(pAp > 1e-30, pAp, 1.0)
+        am = active[:, None]
+        x = jnp.where(am, x + alpha[:, None] * p, x)
+        r = jnp.where(am, r - alpha[:, None] * Ap, r)
+        z = dinv * r
+        rz_new = jnp.sum(r * z, axis=1)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = jnp.where(am, z + beta[:, None] * p, p)
+        rz = jnp.where(active, rz_new, rz)
+
+    gTp = jnp.sum(g * x, axis=1)
+    bad = gTp >= 0
+    pdir = jnp.where(bad[:, None], -g, x)
+    gTp = jnp.where(bad, -jnp.sum(g * g, axis=1), gTp)
+
+    # ----- Armijo sweep + update (as _ls_kernel + body tail) -----
+    eta_rows, done_rows, adv_rows = [], [], []
+    for b in range(Bb):
+        cand = eta[b][None, :] + ts[:, None] * pdir[b][None, :]  # (T, Km1)
+        cand_full = jnp.concatenate([cand, jnp.zeros((T, 1), cand.dtype)], axis=1)
+        mc = jnp.max(cand_full, axis=1, keepdims=True)
+        ec = jnp.exp(cand_full - mc)
+        sc = jax.lax.dot_general(
+            ec, beta_doc_ref[b],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T, L)
+        sc = jnp.maximum(sc, jnp.asarray(1e-35, sc.dtype))
+        ll = jnp.sum(
+            jnp.where(cmask[b][None, :], counts[b][None, :] * (jnp.log(sc) + mc), 0.0),
+            axis=1,
+        )
+        lsec = mc[:, 0] + jnp.log(jnp.sum(ec, axis=1))
+        dc = cand - mu[b][None, :]
+        quadc = 0.5 * jnp.sum((dc @ siginv) * dc, axis=1)
+        fs = quadc - ll + Nd[b] * lsec  # (T,)
+
+        ok = fs <= f[b] + 1e-4 * ts * gTp[b]
+        any_ok = jnp.any(ok)
+        t = jnp.max(jnp.where(ok, ts, 0.0))
+        advance = jnp.logical_and(~done_in[b], ~conv[b])
+        step = jnp.logical_and(advance, any_ok)
+        eta_rows.append(jnp.where(step, eta[b] + t * pdir[b], eta[b]))
+        done_rows.append(
+            jnp.logical_or(done_in[b], jnp.logical_or(conv[b], ~any_ok))
+        )
+        adv_rows.append(advance)
+
+    eta_out_ref[:] = jnp.stack(eta_rows)
+    flags_ref[:] = jnp.stack(
+        [
+            jnp.stack(done_rows).astype(jnp.float32),
+            jnp.stack(adv_rows).astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def pallas_iter_impl(eta, beta_doc, counts, mu, siginv, ts, done,
+                     grad_tol: float, cg_iters: int, bf16: bool = True,
+                     block_docs: int = 8, interpret=None):
+    """One fused Newton iteration: returns (eta_new, done_new, advance)."""
+    interpret = _auto_interpret(interpret)
+    B, K, L = beta_doc.shape
+    Km1 = K - 1
+    T = ts.shape[0]
+    Bb = min(block_docs, B)
+    while B % Bb:
+        Bb //= 2
+    grid = (B // Bb,)
+    kernel = functools.partial(
+        _iter_kernel, grad_tol=grad_tol, cg_iters=cg_iters, bf16=bf16
+    )
+    eta_new, flags = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Km1, Km1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, Km1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, Km1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, K, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Bb, Km1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Km1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(siginv, ts[None, :], eta, mu, done.astype(jnp.float32)[:, None],
+      beta_doc, counts)
+    return eta_new, flags[:, 0] > 0.5, flags[:, 1] > 0.5
+
+
 def pallas_linesearch_impl(eta, p, ts, beta_doc, counts, mu, siginv,
                            block_docs: int = 8, interpret=None):
     """Armijo sweep objectives fs (B, T)."""

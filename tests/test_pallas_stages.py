@@ -65,3 +65,83 @@ def test_linesearch_kernel_matches_xla():
     fs1 = pallas_linesearch_impl(eta, p, ts, beta_doc, counts, mu, siginv,
                                  interpret=True)
     np.testing.assert_allclose(fs1, fs0, rtol=1e-5, atol=1e-5)
+
+
+def test_iter_kernel_matches_one_xla_iteration():
+    """ONE fused-kernel iteration == ONE XLA Newton-body iteration to
+    f32 rounding (same eta update, same done flags).  Full-trajectory
+    iteration counts are NOT comparable across the two paths: a ~2e-5
+    first-step rounding difference (different contraction orderings)
+    amplifies through the Armijo step selection, and near grad_tol the
+    convergence test is at the f32 noise floor — the end-to-end
+    contract is the bound-parity test below."""
+    from strutopy_tpu.ops.estep import (
+        NewtonConfig, _cg_batched, _f_g_H_batched, _f_multi)
+    from strutopy_tpu.ops.pallas_stages import pallas_iter_impl
+
+    beta_doc, counts, eta0, mu, siginv, Nd = _chunk(seed=3)
+    B = eta0.shape[0]
+    cfg = NewtonConfig(bf16_hessian=False)
+    cg_iters = min(cfg.cg_iters, beta_doc.shape[1] - 1)
+    ts = jnp.exp2(-jnp.arange(cfg.max_backtracks, dtype=eta0.dtype))
+    # take 3 XLA iterations first so the comparison starts from a
+    # non-trivial eta, then compare one more step on each path
+    eta = eta0
+    done = jnp.zeros(B, bool)
+    for _ in range(4):
+        f, g, H, _, _ = _f_g_H_batched(
+            eta, beta_doc, counts, mu, siginv, Nd, False, False)
+        conv = jnp.max(jnp.abs(g), axis=1) <= cfg.grad_tol
+        p = _cg_batched(H, g, cg_iters, bf16=False)
+        gTp = jnp.sum(g * p, axis=1)
+        bad = gTp >= 0
+        p = jnp.where(bad[:, None], -g, p)
+        gTp = jnp.where(bad, -jnp.sum(g * g, axis=1), gTp)
+        fs = _f_multi(eta, p, ts, beta_doc, counts, mu, siginv, Nd, False)
+        ok = fs <= f[:, None] + 1e-4 * ts[None, :] * gTp[:, None]
+        any_ok = jnp.any(ok, axis=1)
+        t = jnp.max(jnp.where(ok, ts[None, :], 0.0), axis=1)
+        step = jnp.logical_and(jnp.logical_and(~done, ~conv), any_ok)
+        eta_prev, done_prev = eta, done
+        eta = jnp.where(step[:, None], eta + t[:, None] * p, eta)
+        done = jnp.logical_or(done, jnp.logical_or(conv, ~any_ok))
+    e_p, d_p, adv = pallas_iter_impl(
+        eta_prev, beta_doc, counts, mu, siginv, ts, done_prev,
+        grad_tol=cfg.grad_tol, cg_iters=cg_iters, bf16=False,
+        block_docs=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(e_p), np.asarray(eta),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(d_p), np.asarray(done))
+    np.testing.assert_array_equal(
+        np.asarray(adv), np.asarray(jnp.logical_and(~done_prev, ~conv)))
+
+
+def test_iter_kernel_full_estep_bound():
+    """run_estep with pallas_iter matches the XLA bound."""
+    from strutopy_tpu.ops.estep import NewtonConfig, run_estep
+    from strutopy_tpu.ops.linalg import precompute_sigma
+
+    rng = np.random.default_rng(5)
+    B, K, L, V = 32, 9, 64, 300
+    beta = jnp.asarray(rng.dirichlet(np.ones(V), size=K), jnp.float32)
+    words = jnp.asarray(
+        np.stack([rng.choice(V, L, replace=False) for _ in range(B)]), jnp.int32
+    )
+    counts = jnp.asarray(rng.integers(1, 4, (B, L)), jnp.float32)
+    mu = jnp.asarray(rng.normal(0, 0.3, (B, K - 1)), jnp.float32)
+    eta0 = jnp.zeros((B, K - 1), jnp.float32)
+    sigma = jnp.asarray(np.eye(K - 1) + 0.1, jnp.float32)
+    siginv, sent = precompute_sigma(sigma)
+    asp = jnp.zeros(B, jnp.int32)
+    ok = jnp.ones(B, bool)
+    one = run_estep(beta, mu, eta0, siginv, sent, words, counts, asp, ok,
+                    cfg=NewtonConfig(bf16_hessian=False), batch_size=16)
+    two = run_estep(beta, mu, eta0, siginv, sent, words, counts, asp, ok,
+                    cfg=NewtonConfig(bf16_hessian=False, pallas_iter=True,
+                                     pallas_block=8),
+                    batch_size=16)
+    np.testing.assert_allclose(float(two.bound), float(one.bound), rtol=1e-5)
+    # converged etas agree to grad_tol-level wiggle (trajectories
+    # diverge by rounding; the bound above is the model contract)
+    np.testing.assert_allclose(np.asarray(two.eta), np.asarray(one.eta),
+                               atol=5e-3)
