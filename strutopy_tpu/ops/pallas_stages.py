@@ -301,7 +301,9 @@ def _iter_kernel(siginv_ref, ts_ref, eta_ref, mu_ref, done_ref,
     counts = counts_ref[:]
     mu = mu_ref[:]
     siginv = siginv_ref[:]
-    done_in = done_ref[:][:, 0] > 0.5  # (Bb,)
+    # per-doc flags stay f32 0/1 throughout: Mosaic rejects squeezing
+    # a bool vector element to a scalar (done_f[b] etc. below)
+    done_f = done_ref[:][:, 0]  # (Bb,)
     ts = ts_ref[0]  # (T,)
     Bb, Km1 = eta.shape
     K = Km1 + 1
@@ -348,7 +350,7 @@ def _iter_kernel(siginv_ref, ts_ref, eta_ref, mu_ref, done_ref,
 
     f = quad - jnp.stack(lls) + Nd * lse  # (Bb,)
     g = jnp.stack(gs)  # (Bb, Km1)
-    conv = jnp.max(jnp.abs(g), axis=1) <= grad_tol
+    conv_f = (jnp.max(jnp.abs(g), axis=1) <= grad_tol).astype(jnp.float32)
 
     # ----- CG direction (as _cg_kernel) -----
     diag = jnp.stack([jnp.sum(H * jnp.eye(Km1, dtype=H.dtype), axis=1) for H in Hs])
@@ -412,24 +414,20 @@ def _iter_kernel(siginv_ref, ts_ref, eta_ref, mu_ref, done_ref,
         quadc = 0.5 * jnp.sum((dc @ siginv) * dc, axis=1)
         fs = quadc - ll + Nd[b] * lsec  # (T,)
 
-        ok = fs <= f[b] + 1e-4 * ts * gTp[b]
-        any_ok = jnp.any(ok)
-        t = jnp.max(jnp.where(ok, ts, 0.0))
-        advance = jnp.logical_and(~done_in[b], ~conv[b])
-        step = jnp.logical_and(advance, any_ok)
-        eta_rows.append(jnp.where(step, eta[b] + t * pdir[b], eta[b]))
+        ok_f = (fs <= f[b] + 1e-4 * ts * gTp[b]).astype(jnp.float32)  # (T,)
+        any_ok_f = jnp.max(ok_f)
+        t = jnp.max(ok_f * ts)
+        advance_f = (1.0 - done_f[b]) * (1.0 - conv_f[b])
+        step_f = advance_f * any_ok_f
+        eta_rows.append(eta[b] + (step_f * t) * pdir[b])
         done_rows.append(
-            jnp.logical_or(done_in[b], jnp.logical_or(conv[b], ~any_ok))
+            jnp.maximum(done_f[b], jnp.maximum(conv_f[b], 1.0 - any_ok_f))
         )
-        adv_rows.append(advance)
+        adv_rows.append(advance_f)
 
     eta_out_ref[:] = jnp.stack(eta_rows)
     flags_ref[:] = jnp.stack(
-        [
-            jnp.stack(done_rows).astype(jnp.float32),
-            jnp.stack(adv_rows).astype(jnp.float32),
-        ],
-        axis=1,
+        [jnp.stack(done_rows), jnp.stack(adv_rows)], axis=1
     )
 
 
