@@ -130,10 +130,14 @@ def main():
         newton_straggler_frac=0.25,
     )
     WARMUP = 2 if TWO_PASS else 0
-    sem = StreamedEM(cfg, design, provider, n_parts=N_PARTS)
+    # prefetch=False: the parts are device-generated (nothing to
+    # overlap) and double-buffering the 300 MB counts part would eat
+    # into the tunnel worker's fragile memory envelope (CLAUDE.md)
+    sem = StreamedEM(cfg, design, provider, n_parts=N_PARTS,
+                     prefetch=False)
     sem_cold = (
         StreamedEM(cfg.replace(newton_pass1_iters=0), design,
-                   provider, n_parts=N_PARTS)
+                   provider, n_parts=N_PARTS, prefetch=False)
         if TWO_PASS
         else sem
     )

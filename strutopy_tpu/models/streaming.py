@@ -26,6 +26,7 @@ and days of runtime long before memory matters (SURVEY §2.5).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -67,6 +68,7 @@ class StreamedEM:
         design: mstep.PrevalenceDesign,
         parts: PartProvider,
         n_parts: Optional[int] = None,
+        prefetch: bool = True,
     ):
         if cfg.content or not cfg.lda_beta:
             raise NotImplementedError(
@@ -85,8 +87,19 @@ class StreamedEM:
             self._provider = lambda p: parts[p]
             self.n_parts = len(parts)
 
+        self.prefetch = prefetch
         self._part_estep = jax.jit(self._part_estep_impl)
         self._mu_resid = jax.jit(self._mu_resid_impl)
+
+    def _fetch(self, p: int) -> CorpusData:
+        """Materialize part p on device (runs on the prefetch thread).
+
+        ``jnp.asarray`` on a host array starts the host->device copy;
+        doing it one part ahead overlaps provider work (disk reads,
+        numpy slicing, regeneration) and the transfer with the current
+        part's E-step. Device-resident parts pass through untouched."""
+        w, c, a, ok, D = (jnp.asarray(x) for x in self._provider(p))
+        return CorpusData.single(w, c, a, ok, D)
 
     # -- jitted pieces ----------------------------------------------------
 
@@ -130,25 +143,37 @@ class StreamedEM:
         etas, iters_l, thetas = [], [], []
         parts_cache = []  # doc_ok + D stay for the mu/resid second pass
 
-        for p in range(self.n_parts):
-            w, c, a, ok, D = (jnp.asarray(x) for x in self._provider(p))
-            data_p = CorpusData.single(w, c, a, ok, D)
-            ps = part_states[p]
-            state_p = ps._replace(
-                beta=shared.beta, sigma=shared.sigma, gamma=shared.gamma,
-                kappa=shared.kappa,
-            )
-            stats, eta_p, theta_p, it_p = self._part_estep(state_p, data_p)
-            stats_sum = (
-                stats
-                if stats_sum is None
-                else GlobalStats(*(x + y for x, y in zip(stats_sum, stats)))
-            )
-            etas.append(eta_p)
-            thetas.append(theta_p)
-            iters_l.append(it_p)
-            parts_cache.append((ok, D))
-            del w, c, a, data_p  # free the part's corpus before the next
+        # one-part-ahead prefetch: the provider's host work and the
+        # host->device copy of part p+1 overlap part p's E-step (the
+        # estep dispatch below is async).  Note the peak part-memory is
+        # then TWO parts — pass prefetch=False when a part barely fits.
+        ex = ThreadPoolExecutor(max_workers=1) if self.prefetch else None
+        try:
+            nxt = ex.submit(self._fetch, 0) if ex else None
+            for p in range(self.n_parts):
+                data_p = nxt.result() if ex else self._fetch(p)
+                if ex:
+                    nxt = (ex.submit(self._fetch, p + 1)
+                           if p + 1 < self.n_parts else None)
+                ps = part_states[p]
+                state_p = ps._replace(
+                    beta=shared.beta, sigma=shared.sigma, gamma=shared.gamma,
+                    kappa=shared.kappa,
+                )
+                stats, eta_p, theta_p, it_p = self._part_estep(state_p, data_p)
+                stats_sum = (
+                    stats
+                    if stats_sum is None
+                    else GlobalStats(*(x + y for x, y in zip(stats_sum, stats)))
+                )
+                etas.append(eta_p)
+                thetas.append(theta_p)
+                iters_l.append(it_p)
+                parts_cache.append((data_p.doc_ok[0], data_p.D[0]))
+                del data_p  # free the part's corpus before the next
+        finally:
+            if ex:
+                ex.shutdown(wait=True)
 
         mom = mstep.EtaMoments(Dt_eta=stats_sum.Dt_eta, eta_sum=stats_sum.eta_sum)
         gamma, mu_mean = mstep.update_prevalence(

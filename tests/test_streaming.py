@@ -190,3 +190,38 @@ def test_streamed_rejects_content():
     cfg = STMConfig(K=3, content=True, A=2, lda_beta=False)
     with pytest.raises(NotImplementedError, match="streamed"):
         StreamedEM(cfg, None, [], n_parts=1)
+
+
+def test_prefetch_matches_no_prefetch():
+    """The one-part-ahead prefetch thread must not change results:
+    same bound and shared state as the synchronous path, bit-exact
+    (identical device computation, only the fetch timing differs)."""
+    N, K, V = 96, 4, 120
+    words, counts, aspects, doc_ok, X = _corpus(N=N, K=K, V=V, seed=3)
+    cfg = STMConfig(K=K, model_type="STM", init_type="random", batch_size=16,
+                    sort_by_difficulty=False)
+    D_np, design = mstep.make_prevalence_design(X, doc_ok)
+    n = N // 3
+    parts = [
+        (words[i * n:(i + 1) * n], counts[i * n:(i + 1) * n],
+         aspects[i * n:(i + 1) * n], doc_ok[i * n:(i + 1) * n],
+         D_np[i * n:(i + 1) * n].astype(np.float32))
+        for i in range(3)
+    ]
+    outs = []
+    for pf in (False, True):
+        sem = StreamedEM(cfg, design, parts, prefetch=pf)
+        shared = init_state(jax.random.PRNGKey(1), K=K, V=V, N=n,
+                            P=D_np.shape[1])
+        pstates = sem.init_parts(jax.random.PRNGKey(2), K=K, V=V)
+        for _ in range(2):
+            shared, pstates = sem.em_iteration(shared, pstates)
+        outs.append((float(np.asarray(shared.bound)),
+                     np.asarray(shared.beta), np.asarray(shared.sigma),
+                     [np.asarray(ps.eta) for ps in pstates]))
+    (b0, beta0, sig0, etas0), (b1, beta1, sig1, etas1) = outs
+    assert b0 == b1
+    np.testing.assert_array_equal(beta0, beta1)
+    np.testing.assert_array_equal(sig0, sig1)
+    for e0, e1 in zip(etas0, etas1):
+        np.testing.assert_array_equal(e0, e1)
