@@ -99,10 +99,119 @@ def main():
         out, _ = jax.lax.scan(chunk_fn, jnp.float32(0), chunks)
         return out
 
+    def chol_nu_only(_):
+        # isolate the per-doc (K-1, K-1) Cholesky + cho_inverse
+        from strutopy_tpu.ops.linalg import cho_inverse
+
+        def chunk_fn(carry, chunk):
+            ww, cc, mu_c, eta_c, aspc, okc = chunk
+            beta_doc = E._gather_beta(beta, ww, aspc, None)
+            Nd = jnp.sum(cc, axis=1)
+            _f, _g, H, th, ph = E._f_g_H_batched(
+                eta_c, beta_doc, cc, mu_c, siginv, Nd, bf16=False)
+            Lc = E._chol_pd_batched(H)
+            nu = jax.vmap(cho_inverse)(Lc)
+            return carry + jnp.sum(nu[:, 0, 0]) + jnp.sum(
+                jnp.diagonal(Lc, axis1=1, axis2=2)), None
+        out, _ = jax.lax.scan(chunk_fn, jnp.float32(0), chunks)
+        return out
+
+    def scatter_only(_):
+        # fgh (for phi) + the beta_ss scatter, NO chol/nu
+        beta_ss0 = jnp.zeros(beta.shape, beta.dtype)
+
+        def chunk_fn(carry, chunk):
+            ww, cc, mu_c, eta_c, aspc, okc = chunk
+            beta_ss = carry
+            beta_doc = E._gather_beta(beta, ww, aspc, None)
+            Nd = jnp.sum(cc, axis=1)
+            _f, _g, _H, th, phi_hat = E._f_g_H_batched(
+                eta_c, beta_doc, cc, mu_c, siginv, Nd, bf16=False)
+            phi = phi_hat * cc[:, None, :]
+            beta_ss = E._scatter_phi(beta_ss, phi, ww, aspc, None)
+            return beta_ss, None
+        bss, _ = jax.lax.scan(chunk_fn, beta_ss0, chunks)
+        return jnp.sum(bss[0])
+
+    def fgh_only(_):
+        # the shared fgh pass by itself (baseline for the two above)
+        def chunk_fn(carry, chunk):
+            ww, cc, mu_c, eta_c, aspc, okc = chunk
+            beta_doc = E._gather_beta(beta, ww, aspc, None)
+            Nd = jnp.sum(cc, axis=1)
+            f, g, H, th, ph = E._f_g_H_batched(
+                eta_c, beta_doc, cc, mu_c, siginv, Nd, bf16=False)
+            return carry + jnp.sum(f) + jnp.sum(H[:, 0, 0]) + jnp.sum(ph[:, 0, 0]), None
+        out, _ = jax.lax.scan(chunk_fn, jnp.float32(0), chunks)
+        return out
+
+    def chol_only(_):
+        def chunk_fn(carry, chunk):
+            ww, cc, mu_c, eta_c, aspc, okc = chunk
+            beta_doc = E._gather_beta(beta, ww, aspc, None)
+            Nd = jnp.sum(cc, axis=1)
+            _f, _g, H, th, ph = E._f_g_H_batched(
+                eta_c, beta_doc, cc, mu_c, siginv, Nd, bf16=False)
+            Lc = E._chol_pd_batched(H)
+            return carry + jnp.sum(jnp.diagonal(Lc, axis1=1, axis2=2)), None
+        out, _ = jax.lax.scan(chunk_fn, jnp.float32(0), chunks)
+        return out
+
+    def ns_nu(_):
+        def chunk_fn(carry, chunk):
+            ww, cc, mu_c, eta_c, aspc, okc = chunk
+            beta_doc = E._gather_beta(beta, ww, aspc, None)
+            Nd = jnp.sum(cc, axis=1)
+            _f, _g, H, th, ph = E._f_g_H_batched(
+                eta_c, beta_doc, cc, mu_c, siginv, Nd, bf16=False)
+            Lc = E._chol_pd_batched(H)
+            H_pd = jnp.einsum("bij,bkj->bik", Lc, Lc,
+                              preferred_element_type=jnp.float32)
+            nu = E._ns_inverse(H_pd)
+            return carry + jnp.sum(nu[:, 0, 0]) + jnp.sum(
+                jnp.diagonal(Lc, axis1=1, axis2=2)), None
+        out, _ = jax.lax.scan(chunk_fn, jnp.float32(0), chunks)
+        return out
+
+    beta_T = jnp.asarray(np.asarray(beta).T.copy())  # (V, K)
+
+    def gather_vk(_):
+        # row-gather from a (V, K) layout + transpose to (B, K, L)
+        def chunk_fn(carry, chunk):
+            ww, cc, mu_c, eta_c, aspc, okc = chunk
+            bd = jnp.transpose(beta_T[ww.reshape(-1)].reshape(
+                ww.shape[0], ww.shape[1], -1), (0, 2, 1))  # (B, K, L)
+            return carry + jnp.sum(bd[:, 0]), None
+        out, _ = jax.lax.scan(chunk_fn, jnp.float32(0), chunks)
+        return out
+
+    def scatter_vk(_):
+        # fgh (for phi) + row-scatter into a (V, K) accumulator
+        bss0 = jnp.zeros((beta.shape[-1], beta.shape[-2]), beta.dtype)
+
+        def chunk_fn(carry, chunk):
+            ww, cc, mu_c, eta_c, aspc, okc = chunk
+            beta_doc = E._gather_beta(beta, ww, aspc, None)
+            Nd = jnp.sum(cc, axis=1)
+            _f, _g, _H, th, phi_hat = E._f_g_H_batched(
+                eta_c, beta_doc, cc, mu_c, siginv, Nd, bf16=False)
+            phi = phi_hat * cc[:, None, :]
+            phi_T = jnp.transpose(phi, (0, 2, 1)).reshape(-1, phi.shape[1])
+            return carry.at[ww.reshape(-1)].add(phi_T), None
+        bss, _ = jax.lax.scan(chunk_fn, bss0, chunks)
+        return jnp.sum(bss[0])
+
     results = {"config": {"K": K, "V": V, "N": N, "batch": B}}
     for name, fn in [("full", full), ("newton_only", newton_only),
                      ("finalize_scatter", finalize_only),
-                     ("gather_only", gather_only)]:
+                     ("gather_only", gather_only),
+                     ("fgh_only", fgh_only),
+                     ("chol_nu", chol_nu_only),
+                     ("scatter", scatter_only),
+                     ("chol_only", chol_only),
+                     ("ns_nu", ns_nu),
+                     ("gather_vk", gather_vk),
+                     ("scatter_vk", scatter_vk)]:
         jf = jax.jit(fn)
         float(np.asarray(jf(0)))  # compile + warm
         best = 1e9

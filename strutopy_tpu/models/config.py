@@ -86,9 +86,12 @@ class STMConfig:
     pallas_block: int = 8
     # bf16 beta_doc for the Newton search path (finalize stays f32)
     newton_bf16_beta: bool = False
-    # nu inverse strategy: "chol" (exact, reference semantics) or "ns"
-    # (Newton-Schulz, MXU-only, ~1e-3 sigma_ss error, faster at large K)
-    nu_method: str = "chol"
+    # nu inverse strategy: "blocked" (straight-line blocked Cholesky +
+    # divide-and-conquer triangular inverse, exact to f32 rounding —
+    # ops/linalg.py::blocked_cholesky; +54% E-step at K=100 on v5e,
+    # benchmarks/results_nu_K100.json), "chol" (XLA Cholesky +
+    # triangular solves), or "ns" (Newton-Schulz, ~1e-3 sigma_ss error)
+    nu_method: str = "blocked"
     debug_checks: bool = False  # host-side numerical sanitizers per EM iter
     # length bucketing: run the E-step per document-length class at its
     # own (static) padded L instead of the global max
@@ -118,8 +121,9 @@ class STMConfig:
             raise ValueError("content=True requires A >= 2 aspects")
         if self.beta_smoothing < 0.0:
             raise ValueError("beta_smoothing must be >= 0")
-        if self.nu_method not in ("chol", "ns"):
-            raise ValueError(f"nu_method must be chol or ns, got {self.nu_method}")
+        if self.nu_method not in ("chol", "ns", "blocked"):
+            raise ValueError(
+                f"nu_method must be chol, ns or blocked, got {self.nu_method}")
         if self.newton_pass1_iters < 0 or self.newton_pass1_iters >= self.newton_max_iters and self.newton_pass1_iters != 0:
             raise ValueError(
                 "newton_pass1_iters must be 0 (off) or in [1, newton_max_iters)"

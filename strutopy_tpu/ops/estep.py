@@ -46,7 +46,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from strutopy_tpu.ops.linalg import cho_inverse
+from strutopy_tpu.ops.linalg import (
+    blocked_cho_inverse,
+    blocked_cholesky,
+    cho_inverse,
+)
 
 
 def _batch_diag(H):
@@ -91,12 +95,14 @@ class NewtonConfig(NamedTuple):
     # finalize pass (bound, phi, nu) always re-reads beta_doc in f32,
     # preserving the model-quantity precision split (CLAUDE.md).
     bf16_beta: bool = False
-    # nu = H^{-1} strategy at the converged eta: "chol" (triangular
-    # solve from the PD-repair Cholesky — exact, reference semantics)
-    # or "ns" (Newton-Schulz iteration: pure batched MXU matmuls,
-    # measured +5% E-step at K=100 with ~1e-3 relative sigma_ss error;
-    # the bound's log-det still comes from the Cholesky either way)
-    nu_method: str = "chol"
+    # nu = H^{-1} strategy at the converged eta: "blocked" (straight-
+    # line blocked Cholesky + divide-and-conquer triangular inverse —
+    # exact to f32 rounding, +54% E-step at K=100 on v5e vs XLA's
+    # sequential-loop lowerings, results_nu_K100.json), "chol" (XLA
+    # Cholesky + triangular solve, reference semantics), or "ns"
+    # (Newton-Schulz: ~1e-3 relative sigma_ss error; log-det still
+    # from the Cholesky)
+    nu_method: str = "blocked"
 
 
 class EStepResult(NamedTuple):
@@ -393,22 +399,24 @@ def _make_pd_batched(M):
     return M * (1.0 - eye) + new_d[:, :, None] * eye
 
 
-def _chol_pd_batched(H, jitter: float = 1e-5):
+def _chol_pd_batched(H, jitter: float = 1e-5, chol_fn=jnp.linalg.cholesky):
     """Batched 3-rung PD-repair Cholesky ladder (stm.py:1017-1050).
 
     The repair rungs run under a scalar ``lax.cond``: at the converged
     eta the Hessian is almost always PD, so the common case pays for a
-    single batched factorization.
+    single batched factorization.  ``chol_fn`` swaps the factorization
+    (XLA's sequential-loop Cholesky vs :func:`~strutopy_tpu.ops.linalg.
+    blocked_cholesky`); both signal non-PD input with NaNs.
     """
     K = H.shape[-1]
-    L1 = jnp.linalg.cholesky(H)
+    L1 = chol_fn(H)
     ok1 = jnp.all(jnp.isfinite(L1.reshape(H.shape[0], -1)), axis=1)
 
     def repair(_):
         H2 = _make_pd_batched(H)
-        L2 = jnp.linalg.cholesky(H2)
+        L2 = chol_fn(H2)
         ok2 = jnp.all(jnp.isfinite(L2.reshape(H.shape[0], -1)), axis=1)
-        L3 = jnp.linalg.cholesky(H2 + jitter * jnp.eye(K, dtype=H.dtype)[None])
+        L3 = chol_fn(H2 + jitter * jnp.eye(K, dtype=H.dtype)[None])
         fixed = jnp.where(ok2[:, None, None], L2, L3)
         return jnp.where(ok1[:, None, None], L1, fixed)
 
@@ -440,15 +448,25 @@ def _finalize_chunk(eta, beta_doc, counts, mu, doc_w, siginv, sigmaentropy, Nd,
     _f, _g, H, theta, phi_hat = _f_g_H_batched(
         eta, beta_doc, counts, mu, siginv, Nd, bf16=False
     )
-    L = _chol_pd_batched(H)
-    if nu_method == "ns":
-        # invert the (possibly PD-repaired) matrix L L^T, not the raw H:
-        # matches the chol path's semantics and guarantees NS convergence
-        H_pd = jnp.einsum("bij,bkj->bik", L, L,
-                          preferred_element_type=jnp.float32)
-        nu = _ns_inverse(H_pd)
+    if nu_method == "blocked":
+        # straight-line blocked factorization + log-depth triangular
+        # inverse (ops/linalg.py): same math as the chol path, built
+        # from batched einsums instead of XLA's sequential loops —
+        # the (B, K-1, K-1) factorization is the finalize hot spot
+        # (benchmarks/results_ablate_K100_V10000.json)
+        L = _chol_pd_batched(H, chol_fn=blocked_cholesky)
+        nu = blocked_cho_inverse(L)
     else:
-        nu = jax.vmap(cho_inverse)(L)
+        L = _chol_pd_batched(H)
+        if nu_method == "ns":
+            # invert the (possibly PD-repaired) matrix L L^T, not the
+            # raw H: matches the chol path's semantics and guarantees
+            # NS convergence
+            H_pd = jnp.einsum("bij,bkj->bik", L, L,
+                              preferred_element_type=jnp.float32)
+            nu = _ns_inverse(H_pd)
+        else:
+            nu = jax.vmap(cho_inverse)(L)
 
     # per-doc ELBO, reference lower_bound (stm.py:1068-1101)
     eta_full = _pad_eta(eta)

@@ -80,6 +80,131 @@ def cho_inverse(L: jax.Array) -> jax.Array:
     return Linv.T @ Linv
 
 
+def _small_chol(A: jax.Array) -> jax.Array:
+    """Unrolled Cholesky-Banachiewicz for a (B, b, b) SPD batch.
+
+    b sequential column steps, each a batched O(b^2) vector op —
+    straight-line code, no lax loop.  Non-PD input yields NaN via
+    sqrt of a negative pivot, matching jnp.linalg.cholesky's failure
+    signaling.
+    """
+    b = A.shape[-1]
+    L = jnp.zeros_like(A)
+    for i in range(b):
+        if i:
+            corr = jnp.einsum(
+                "brk,bk->br", L[:, i:, :i], L[:, i, :i],
+                preferred_element_type=A.dtype,
+            )
+        else:
+            corr = jnp.zeros_like(A[:, i:, i])
+        v = A[:, i:, i] - corr  # (B, b-i)
+        d = jnp.sqrt(v[:, :1])  # (B, 1); NaN if pivot < 0
+        # v[0]/d == d, so one set covers pivot and column; a zero or
+        # negative pivot propagates inf/NaN for the isfinite ladders
+        L = L.at[:, i:, i].set(v / d)
+    return L
+
+
+def _small_tri_inv(L: jax.Array) -> jax.Array:
+    """Unrolled forward-substitution inverse of a (B, m, m) lower batch."""
+    m = L.shape[-1]
+    rows = []
+    eye = jnp.eye(m, dtype=L.dtype)
+    for i in range(m):
+        e = jnp.broadcast_to(eye[i], L.shape[:1] + (m,))
+        if i:
+            prev = jnp.stack(rows, axis=1)  # (B, i, m)
+            corr = jnp.einsum(
+                "bk,bkm->bm", L[:, i, :i], prev,
+                preferred_element_type=L.dtype,
+            )
+        else:
+            corr = jnp.zeros_like(e)
+        rows.append((e - corr) / L[:, i, i][:, None])
+    return jnp.stack(rows, axis=1)
+
+
+def tri_lower_inverse(L: jax.Array, leaf: int = 8) -> jax.Array:
+    """Batched lower-triangular inverse by divide and conquer.
+
+    inv([[A, 0], [C, D]]) = [[A^-1, 0], [-D^-1 C A^-1, D^-1]]: the two
+    half-size inversions are independent, so the sequential depth is
+    log2(n/leaf) with all O(n^3) work in batched einsums (MXU) —
+    versus the n-step sequential substitution XLA's triangular solve
+    lowers to on TPU.
+    """
+    n = L.shape[-1]
+    if n <= leaf:
+        return _small_tri_inv(L)
+    h = n // 2
+    Ai = tri_lower_inverse(L[:, :h, :h], leaf)
+    Di = tri_lower_inverse(L[:, h:, h:], leaf)
+    CA = jnp.einsum("bij,bjk->bik", L[:, h:, :h], Ai,
+                    preferred_element_type=L.dtype)
+    X = -jnp.einsum("bij,bjk->bik", Di, CA,
+                    preferred_element_type=L.dtype)
+    B = L.shape[0]
+    top = jnp.concatenate(
+        [Ai, jnp.zeros((B, h, n - h), L.dtype)], axis=2)
+    return jnp.concatenate([top, jnp.concatenate([X, Di], axis=2)], axis=1)
+
+
+def blocked_cholesky(H: jax.Array, block: int = 16) -> jax.Array:
+    """Batched lower Cholesky of (B, P, P) SPD matrices, straight-line.
+
+    XLA's native Cholesky lowers to a P-step sequential While loop with
+    tiny per-step work; on TPU the finalize-stage (B, K-1, K-1)
+    factorization is latency-bound there (44 of 173 ms at K=100 —
+    benchmarks/results_ablate_K100_V10000.json).  This right-looking
+    blocked version does P/block sequential block steps, each one
+    unrolled (B, block, block) factorization + a log-depth triangular
+    inverse + two batched einsums (MXU work).
+
+    P is padded up to a multiple of ``block`` with an identity tail
+    (factor and inverse of the pad are identity; the result is sliced
+    back), so any P works.  Non-PD inputs produce NaNs like
+    jnp.linalg.cholesky — callers' isfinite repair ladders work
+    unchanged.
+    """
+    B, P, _ = H.shape
+    Pp = -(-P // block) * block
+    if Pp != P:
+        pad = jnp.zeros((B, Pp, Pp), H.dtype)
+        pad = pad.at[:, :P, :P].set(H)
+        idx = jnp.arange(P, Pp)
+        H = pad.at[:, idx, idx].set(1.0)
+    nb = Pp // block
+    T = H  # trailing matrix, shrinks by one block per step
+    cols = []
+    for j in range(nb):
+        Ajj = T[:, :block, :block]
+        Ljj = _small_chol(Ajj)
+        r = T.shape[1] - block
+        if r:
+            Wjj = tri_lower_inverse(Ljj, leaf=8)
+            panel = jnp.einsum("brk,bik->bri", T[:, block:, :block], Wjj,
+                               preferred_element_type=H.dtype)
+            T = T[:, block:, block:] - jnp.einsum(
+                "bri,bsi->brs", panel, panel,
+                preferred_element_type=H.dtype)
+            colj = jnp.concatenate([Ljj, panel], axis=1)  # (B, block+r, block)
+        else:
+            colj = Ljj
+        cols.append(jnp.concatenate(
+            [jnp.zeros((B, j * block, block), H.dtype), colj], axis=1))
+    L = jnp.concatenate(cols, axis=2)
+    return L[:, :P, :P] if Pp != P else L
+
+
+def blocked_cho_inverse(L: jax.Array, leaf: int = 8) -> jax.Array:
+    """Batched (L L^T)^{-1} = W^T W with W = L^{-1} from
+    :func:`tri_lower_inverse` — replaces the per-doc triangular solves
+    of :func:`cho_inverse` with log-depth batched einsums."""
+    W = tri_lower_inverse(L, leaf=leaf)
+    return jnp.einsum("bki,bkj->bij", W, W, preferred_element_type=L.dtype)
+
+
 def precompute_sigma(sigma: jax.Array, jitter: float = 1e-5):
     """Per-EM-iteration sigma factorization (reference stm.py:497-510).
 
