@@ -92,6 +92,8 @@ class STMConfig:
     # benchmarks/results_nu_K100.json), "chol" (XLA Cholesky +
     # triangular solves), or "ns" (Newton-Schulz, ~1e-3 sigma_ss error)
     nu_method: str = "blocked"
+    # blocked_cholesky block size (only read when nu_method="blocked")
+    chol_block: int = 16
     debug_checks: bool = False  # host-side numerical sanitizers per EM iter
     # length bucketing: run the E-step per document-length class at its
     # own (static) padded L instead of the global max

@@ -74,6 +74,7 @@ def _newton_cfg(cfg: STMConfig) -> NewtonConfig:
         pallas_block=cfg.pallas_block,
         bf16_beta=cfg.newton_bf16_beta,
         nu_method=cfg.nu_method,
+        chol_block=cfg.chol_block,
     )
 
 

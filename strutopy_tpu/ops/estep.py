@@ -103,6 +103,9 @@ class NewtonConfig(NamedTuple):
     # (Newton-Schulz: ~1e-3 relative sigma_ss error; log-det still
     # from the Cholesky)
     nu_method: str = "blocked"
+    # blocked_cholesky block size for nu_method="blocked" (16 default;
+    # tunnel latency floors the micro-bench, so tune via the E-step A/B)
+    chol_block: int = 16
 
 
 class EStepResult(NamedTuple):
@@ -443,7 +446,7 @@ def _ns_inverse(H, iters: int = 18):
 
 
 def _finalize_chunk(eta, beta_doc, counts, mu, doc_w, siginv, sigmaentropy, Nd,
-                    nu_method: str = "chol"):
+                    nu_method: str = "chol", chol_block: int = 16):
     """Per-doc nu / bound / phi / theta at the converged eta (float32)."""
     _f, _g, H, theta, phi_hat = _f_g_H_batched(
         eta, beta_doc, counts, mu, siginv, Nd, bf16=False
@@ -454,7 +457,8 @@ def _finalize_chunk(eta, beta_doc, counts, mu, doc_w, siginv, sigmaentropy, Nd,
         # from batched einsums instead of XLA's sequential loops —
         # the (B, K-1, K-1) factorization is the finalize hot spot
         # (benchmarks/results_ablate_K100_V10000.json)
-        L = _chol_pd_batched(H, chol_fn=blocked_cholesky)
+        L = _chol_pd_batched(
+            H, chol_fn=functools.partial(blocked_cholesky, block=chol_block))
         nu = blocked_cho_inverse(L)
     else:
         L = _chol_pd_batched(H)
@@ -667,6 +671,7 @@ def _two_pass_estep(
         theta, nu, bound_d, phi = _finalize_chunk(
             eta_c, bd, c, mu_c, doc_w, siginv, sigmaentropy,
             jnp.sum(c, axis=1), nu_method=cfg.nu_method,
+            chol_block=cfg.chol_block,
         )
         beta_ss = _scatter_phi(beta_ss, phi, w, asp, vocab_axis)
         return (beta_ss, sigma_ss + jnp.sum(nu, axis=0)), (theta, jnp.sum(bound_d))
@@ -782,7 +787,7 @@ def run_estep(
             eta, iters, _ = _batched_newton(bd_loop, c, mu_c, eta_c, siginv, cfg)
         theta, nu, bound_d, phi = _finalize_chunk(
             eta, beta_doc, c, mu_c, doc_w, siginv, sigmaentropy, Nd,
-            nu_method=cfg.nu_method,
+            nu_method=cfg.nu_method, chol_block=cfg.chol_block,
         )
         beta_ss = _scatter_phi(beta_ss, phi, w, asp, vocab_axis)
         sigma_ss = sigma_ss + jnp.sum(nu, axis=0)
