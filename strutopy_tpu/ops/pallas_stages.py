@@ -499,3 +499,62 @@ def pallas_linesearch_impl(eta, p, ts, beta_doc, counts, mu, siginv,
         out_shape=jax.ShapeDtypeStruct((B, T), jnp.float32),
         interpret=interpret,
     )(siginv, ts[None, :], eta, p, beta_doc, counts, mu)
+
+
+def _gather_rows_kernel(words_ref, beta_ref, out_ref, *, rows: int):
+    """Copy beta_T rows named by the scalar-prefetched word ids.
+
+    beta_ref is the ENTIRE (V, K) vocab-major beta in VMEM (callers
+    gate on it fitting); each grid program materializes ``rows`` output
+    rows with dynamic sublane reads — the embedding-lookup pattern.
+    """
+    i = pl.program_id(0)
+
+    def body(j, _):
+        w = words_ref[i * rows + j]
+        out_ref[j, :] = beta_ref[w, :]
+        return 0
+
+    # Mosaic only supports full unroll or none for fori_loop
+    jax.lax.fori_loop(0, rows, body, 0, unroll=rows)
+
+
+def pallas_gather_beta(beta_T, words, rows_per_program: int = 512,
+                       interpret=None):
+    """Row-gather beta_T[words] -> (B, L, K) via a Pallas kernel.
+
+    ``beta_T`` is (V, K); ``words`` (B, L) int32.  The whole beta_T
+    block is VMEM-resident (callers gate on V*K*4 bytes fitting); word
+    ids arrive by scalar prefetch so the output blocks can be
+    double-buffered against the copy loop.
+
+    MEASURED A TIE with XLA's gather on v5e (25.5 vs 25.8 ms for 16
+    chunks of (256, 300) words at V=10k/K=100): the ~1.6 ms/chunk cost
+    is the per-row handling floor, which XLA's gather emitter already
+    hits.  Kept as the measured exploration; NOT wired into the E-step
+    (the XLA path needs no VMEM-size gate).
+    """
+    interpret = _auto_interpret(interpret)
+    B, L = words.shape
+    V, K = beta_T.shape
+    n = B * L
+    R = min(rows_per_program, n)
+    while n % R:
+        R //= 2
+    grid = (n // R,)
+    out = pl.pallas_call(
+        functools.partial(_gather_rows_kernel, rows=R),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((V, K), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, K), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, K), beta_T.dtype),
+        interpret=interpret,
+    )(words.reshape(-1), beta_T)
+    return out.reshape(B, L, K)

@@ -145,3 +145,16 @@ def test_iter_kernel_full_estep_bound():
     # diverge by rounding; the bound above is the model contract)
     np.testing.assert_allclose(np.asarray(two.eta), np.asarray(one.eta),
                                atol=5e-3)
+
+
+def test_gather_rows_kernel_matches_take():
+    from strutopy_tpu.ops.pallas_stages import pallas_gather_beta
+
+    rng = np.random.default_rng(7)
+    V, K, B, L = 500, 12, 16, 40
+    beta_T = jnp.asarray(rng.normal(0, 1, (V, K)), jnp.float32)
+    words = jnp.asarray(rng.integers(0, V, (B, L)), jnp.int32)
+    out = pallas_gather_beta(beta_T, words, rows_per_program=64,
+                             interpret=True)
+    ref = jnp.take(beta_T, words.reshape(-1), axis=0).reshape(B, L, K)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
