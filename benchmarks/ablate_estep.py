@@ -37,7 +37,7 @@ def main():
     K = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     V = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
     N, n_words = 4096, 300
-    B = 64 if K > 150 else 256
+    B = 128 if K > 150 else 256
     common = dict(newton_pass1_iters=0)  # single-pass: clean ablation
 
     state, data, pc, design, make_cfg = warmed_state(

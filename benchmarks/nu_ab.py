@@ -27,7 +27,7 @@ from bench_common import time_estep, warmed_state  # noqa: E402
 def main():
     K = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     V, N, n_words = 10_000, 4096, 300
-    B = 64 if K > 150 else 256
+    B = 128 if K > 150 else 256
     common = dict(pallas_cg=K > 150, pallas_block=32,
                   newton_pass1_iters=6, newton_straggler_frac=0.25)
 

@@ -30,7 +30,7 @@ def main():
     K = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     blocks = ([int(sys.argv[2])] if len(sys.argv) > 2 else [8, 16, 32])
     V, N, n_words = 10_000, 4096, 300
-    B = 64 if K > 150 else 256
+    B = 128 if K > 150 else 256
     common = dict(newton_pass1_iters=6, newton_straggler_frac=0.25)
 
     state, data, pc, design, make_cfg = warmed_state(

@@ -46,7 +46,7 @@ def main():
     for K, V in grid:
         # measured r2: at K=200 the (B, K, L) working set wants smaller
         # chunks (B=64 beats 256 by ~11%); K<=100 is fastest at 256
-        dps = measure(K, V, batch=64 if K > 150 else 256)
+        dps = measure(K, V, batch=128 if K > 150 else 256)
         results[f"K{K}_V{V}"] = {"docs_per_sec": round(dps, 1)}
         print(f"K={K} V={V}: {dps:.0f} docs/s", flush=True)
     with open(OUT, "w") as f:
