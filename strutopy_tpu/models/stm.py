@@ -86,6 +86,15 @@ class STM:
                 init_type=init_type,
                 seed=seed,
                 beta_smoothing=beta_smoothing,
+                # two-pass straggler schedule by default for real fits
+                # (+53% steady-state at K=100 post-blocked-linalg,
+                # bound parity ~1e-7 — RESULTS.md): pass 1 caps every
+                # chunk's Newton budget, stragglers regroup densely.
+                # Short fits skip it (the extra compiled graph pair is
+                # not worth <10 iterations).  Pass config=STMConfig(...)
+                # for full control, incl. newton_pass1_iters=0.
+                newton_pass1_iters=6 if max_em_iter >= 10 else 0,
+                newton_straggler_frac=0.25,
             )
         if batch_size is not None:
             config = config.replace(batch_size=batch_size)
