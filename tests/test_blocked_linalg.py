@@ -115,3 +115,18 @@ def test_run_estep_blocked_matches_chol():
     np.testing.assert_allclose(np.asarray(blk.beta_ss),
                                np.asarray(base.beta_ss),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("P", [1, 2, 15, 16, 17])
+def test_blocked_cholesky_edge_sizes(P):
+    """Pad-boundary and tiny sizes: P=1 (scalar), P just below/at/above
+    the 16 block, single-element batch."""
+    H = _spd(1, P, seed=40 + P)
+    L_ref = np.asarray(jnp.linalg.cholesky(H))
+    L = np.asarray(blocked_cholesky(H))
+    np.testing.assert_allclose(L, L_ref, rtol=2e-4, atol=2e-5)
+    nu = np.asarray(blocked_cho_inverse(jnp.asarray(L)))
+    eye = np.einsum("bij,bjk->bik", nu, np.asarray(H))
+    np.testing.assert_allclose(
+        eye, np.broadcast_to(np.eye(P, dtype=np.float32), eye.shape),
+        atol=5e-3)
