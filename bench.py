@@ -94,12 +94,15 @@ def measure_tpu(docs, X):
 
     estep = jax.jit(lambda s, d: local_estep_stats(s, d, cfg)[0].bound)
     float(np.asarray(estep(state, data)))  # compile
+    # median of 5 repeats: the tunnel has few-% run-to-run variance, so
+    # a best-of pick overstates (VERDICT r2 weak #7) — the recorded
+    # protocol is the median
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         float(np.asarray(estep(state, data)))
         times.append(time.time() - t0)
-    return corpus.N / min(times)
+    return corpus.N / float(np.median(times))
 
 
 def measure_baseline(docs, X):

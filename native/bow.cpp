@@ -44,11 +44,17 @@ struct BowResult {
 inline bool is_split_byte(unsigned char c) {
   // ASCII whitespace, punctuation and digits all split; bytes >= 0x80
   // (UTF-8 continuation/lead) are letter-like and never split.
+  // Punctuation is the fixed ASCII set of python's string.punctuation
+  // (the parity contract with the python path) — NOT std::ispunct,
+  // whose result is locale-dependent (ADVICE r2).
   if (c >= 0x80) return false;
   if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\v')
     return true;
   if (c >= '0' && c <= '9') return true;
-  return std::ispunct(c) != 0;
+  return (c >= 0x21 && c <= 0x2F) ||  // !"#$%&'()*+,-./
+         (c >= 0x3A && c <= 0x40) ||  // :;<=>?@
+         (c >= 0x5B && c <= 0x60) ||  // [\]^_`
+         (c >= 0x7B && c <= 0x7E);    // {|}~
 }
 
 inline int64_t codepoints(const char* s, size_t n) {

@@ -94,3 +94,71 @@ def load_model_artifacts(model_dir: str) -> dict:
         with open(lb, "rb") as f:
             out["lower_bound"] = pickle.load(f)
     return out
+
+
+class _GensimDictStub:
+    """Attribute bag standing in for gensim.corpora.dictionary.Dictionary
+    during unpickling (pickle restores instance state into __dict__)."""
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:  # (dict_state, slots_state) protocol-2 tuple form
+            d, s = state
+            if d:
+                self.__dict__.update(d)
+            if s:
+                self.__dict__.update(s)
+
+
+class _GensimDictUnpickler(pickle.Unpickler):
+    """Restricted unpickler for gensim Dictionary files.
+
+    The reference serializes its id->token mapping with
+    ``Dictionary.save`` (reference src/02_create_corpus.py:39-44,
+    committed as ``src/artifacts/wiki_data/dictionary.mm``) — a pickle
+    of a gensim class this framework does not depend on.  Only the
+    gensim Dictionary/SaveLoad classes map to a local stub; every other
+    global is refused (never unpickle arbitrary classes from data
+    files).
+    """
+
+    _ALLOWED = {
+        ("gensim.corpora.dictionary", "Dictionary"),
+        ("gensim.utils", "SaveLoad"),
+    }
+
+    def find_class(self, module, name):
+        if (module, name) in self._ALLOWED:
+            return _GensimDictStub
+        if module == "collections" and name == "OrderedDict":
+            import collections
+
+            return collections.OrderedDict
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle {module}.{name}: not a gensim "
+            "Dictionary component"
+        )
+
+
+def read_gensim_dictionary(path: str):
+    """Read a gensim ``Dictionary.save`` file -> :class:`Vocabulary`.
+
+    Tokens are ordered by their integer id (missing ids become
+    placeholder strings so downstream indexing never KeyErrors).
+    """
+    from strutopy_tpu.corpus.bow import Vocabulary
+
+    with open(path, "rb") as f:
+        obj = _GensimDictUnpickler(f).load()
+    token2id = getattr(obj, "token2id", None)
+    if not token2id:
+        id2token = getattr(obj, "id2token", None)
+        if not id2token:
+            raise ValueError(f"{path} has neither token2id nor id2token")
+        token2id = {t: i for i, t in id2token.items()}
+    n = max(token2id.values()) + 1 if token2id else 0
+    tokens = [f"__missing_{i}" for i in range(n)]
+    for tok, i in token2id.items():
+        tokens[int(i)] = str(tok)
+    return Vocabulary(tokens)

@@ -82,3 +82,109 @@ def plot_effect(
     if path:
         fig.savefig(path, bbox_inches="tight")
     return fig
+
+
+def estimate_content_effect(
+    beta: np.ndarray,
+    theta: np.ndarray,
+    doc_lengths: np.ndarray,
+    aspect_index: np.ndarray,
+    topics: Optional[Sequence[int]] = None,
+    aspects=(0, 1),
+    n: int = 10,
+    vocab=None,
+):
+    """Per-topic differential word weight across content-covariate levels.
+
+    The reference README promises metadata estimates "on the topical
+    content" as well as prevalence (reference README.md:44-45); its code
+    never implements them.  For each topic k this contrasts the fitted
+    aspect betas:
+
+        c_kv = log beta[a1, k, v] - log beta[a0, k, v]
+
+    with a plug-in Poisson log-rate-ratio standard error from the
+    expected token counts  E[count_akv] ~= beta[a,k,v] * M_ak, where
+    M_ak = sum_{d: aspect_d=a} theta[d,k] * N_d  (the expected tokens
+    topic k emits under aspect a):
+
+        se_kv = sqrt(1/max(E1,eps) + 1/max(E0,eps)).
+
+    Words with tiny expected counts in either aspect get huge se, so the
+    z-ranking surfaces only well-supported contrasts.
+
+    Returns a dict with ``contrast`` (K_sel, V), ``se`` (K_sel, V),
+    ``z`` and per-topic ``top`` lists of (word, contrast, se, z) for the
+    n most positive (favoring ``aspects[1]``) and n most negative.
+    """
+    beta = np.asarray(beta, np.float64)
+    assert beta.ndim == 3, "content effects need an (A, K, V) beta"
+    theta = np.asarray(theta, np.float64)
+    doc_lengths = np.asarray(doc_lengths, np.float64).ravel()
+    aspect_index = np.asarray(aspect_index).ravel()
+    a0, a1 = aspects
+    A, K, V = beta.shape
+    topics = list(range(K)) if topics is None else list(topics)
+    eps = 1e-8
+
+    # expected tokens per (aspect, topic): M_ak
+    tok = theta * doc_lengths[:, None]  # (N, K)
+    M = np.zeros((A, K))
+    for a in range(A):
+        sel = aspect_index == a
+        if sel.any():
+            M[a] = tok[sel].sum(axis=0)
+
+    logb = np.log(np.maximum(beta, 1e-30))
+    contrast = logb[a1, topics] - logb[a0, topics]  # (K_sel, V)
+    E1 = beta[a1, topics] * M[a1, topics, None]
+    E0 = beta[a0, topics] * M[a0, topics, None]
+    se = np.sqrt(1.0 / np.maximum(E1, eps) + 1.0 / np.maximum(E0, eps))
+    z = contrast / se
+
+    top = []
+    for i, k in enumerate(topics):
+        order = np.argsort(-z[i])
+        pos = [j for j in order[:n]]
+        neg = [j for j in order[::-1][:n]]
+
+        def row(j):
+            w = vocab[j] if vocab is not None else str(j)
+            return (w, float(contrast[i, j]), float(se[i, j]), float(z[i, j]))
+
+        top.append({"topic": int(k),
+                    "favoring_a1": [row(j) for j in pos],
+                    "favoring_a0": [row(j) for j in neg]})
+    return {
+        "contrast": contrast, "se": se, "z": z,
+        "topics": topics, "aspects": (int(a0), int(a1)), "top": top,
+    }
+
+
+def plot_content_effect(effect: dict, topic_pos: int = 0, n: int = 8,
+                        path: Optional[str] = None):
+    """Horizontal bar chart of the top differential words (±1.96 se)
+    for one topic of an :func:`estimate_content_effect` result."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    entry = effect["top"][topic_pos]
+    rows = entry["favoring_a1"][:n][::-1] + entry["favoring_a0"][:n]
+    words = [r[0] for r in rows]
+    vals = np.asarray([r[1] for r in rows])
+    errs = 1.96 * np.asarray([r[2] for r in rows])
+    y = np.arange(len(rows))
+    fig, ax = plt.subplots(figsize=(6, 0.3 * len(rows) + 1))
+    ax.barh(y, vals, xerr=errs, capsize=2,
+            color=["#4477aa" if v > 0 else "#ee6677" for v in vals])
+    ax.axvline(0.0, color="gray", lw=1, ls="--")
+    ax.set_yticks(y)
+    ax.set_yticklabels(words)
+    a0, a1 = effect["aspects"]
+    ax.set_xlabel(f"log beta(aspect {a1}) - log beta(aspect {a0})")
+    ax.set_title(f"Topic {entry['topic']}: content-covariate effect (95% CI)")
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+    return fig

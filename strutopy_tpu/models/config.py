@@ -51,7 +51,12 @@ class STMConfig:
     spectral_max_v: int = 5000  # reference maxV default (stm.py:422)
     # content-model (kappa) Poisson regression
     kappa_l2: float = 250.0  # reference alpha=250 (stm.py:758)
+    # per-word Newton CAP: the batched solver exits early once every
+    # word's gradient max-norm is below kappa_grad_tol (the reference
+    # fits each word to sklearn tol=1e-5, stm.py:820); warm-started
+    # steady-state updates typically take 2-4 iterations
     kappa_newton_iters: int = 40
+    kappa_grad_tol: float = 1e-6
     # E-step solver
     newton_max_iters: int = 24
     newton_grad_tol: float = 1e-5  # scipy BFGS gtol default the reference relies on

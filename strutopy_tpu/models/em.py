@@ -57,6 +57,9 @@ class GlobalStats(NamedTuple):
     bound: jax.Array
     Dt_eta: jax.Array
     eta_sum: jax.Array
+    # diagnostic (psums like the rest): two-pass straggler-budget
+    # overflow count across shards/buckets
+    straggler_overflow: jax.Array = 0
 
 
 def _newton_cfg(cfg: STMConfig) -> NewtonConfig:
@@ -110,6 +113,7 @@ def local_estep_stats(state: STMState, data: CorpusData, cfg: STMConfig,
     bound = jnp.zeros((), state.beta.dtype)
     Dt_eta = None
     eta_sum = jnp.zeros(state.eta.shape[1], state.eta.dtype)
+    overflow = jnp.zeros((), jnp.int32)
     etas, thetas, iters = [], [], []
 
     for b in range(data.n_buckets):
@@ -164,6 +168,7 @@ def local_estep_stats(state: STMState, data: CorpusData, cfg: STMConfig,
         beta_ss = beta_ss + res.beta_ss
         sigma_ss = sigma_ss + res.sigma_ss
         bound = bound + res.bound
+        overflow = overflow + res.straggler_overflow
         Dt_eta = mom.Dt_eta if Dt_eta is None else Dt_eta + mom.Dt_eta
         eta_sum = eta_sum + mom.eta_sum
         etas.append(eta_out)
@@ -176,6 +181,7 @@ def local_estep_stats(state: STMState, data: CorpusData, cfg: STMConfig,
         bound=bound,
         Dt_eta=Dt_eta,
         eta_sum=eta_sum,
+        straggler_overflow=overflow,
     )
     return (
         stats,
@@ -241,12 +247,35 @@ def em_iteration(
         beta = mstep.update_beta_lda(stats.beta_ss, cfg.beta_smoothing, row_psum)
         kappa = state.kappa
     else:
+        wc = jnp.asarray(wcounts, state.beta.dtype)
+        vocab_psum = vocab_pmax = None
+        wc_total = None
+        if vocab_axis is not None:
+            # the per-word GLMs are shard-local; wcounts is captured as
+            # the full replicated (V,) array, so slice this device's
+            # contiguous vocab shard to match beta_ss/kappa
+            Vl = stats.beta_ss.shape[-1]
+            wc_total = jnp.sum(wc)
+            wc = jax.lax.dynamic_slice_in_dim(
+                wc, jax.lax.axis_index(vocab_axis) * Vl, Vl
+            )
+            vocab_psum = lambda x: jax.lax.psum(x, vocab_axis)
+            vocab_pmax = lambda x: jax.lax.pmax(x, vocab_axis)
         beta, kappa = mstep.update_beta_content(
             stats.beta_ss,
-            wcounts,
+            wc,
             kappa_design,
             alpha=cfg.kappa_l2,
             iters=cfg.kappa_newton_iters,
+            # warm start from the previous EM iteration's kappa: at
+            # iteration 0 state.kappa is zeros (== the cold start), so
+            # this is free there and saves most Newton iterations at
+            # steady state (VERDICT r2 next #1)
+            kappa0=state.kappa,
+            tol=cfg.kappa_grad_tol,
+            vocab_psum=vocab_psum,
+            vocab_pmax=vocab_pmax,
+            wcounts_total=wc_total,
         )
     return STMState(
         beta=beta,
@@ -258,6 +287,7 @@ def em_iteration(
         kappa=kappa,
         bound=stats.bound,
         opt_iters=newton_iters,
+        straggler_overflow=stats.straggler_overflow,
     )
 
 

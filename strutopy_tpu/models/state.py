@@ -39,6 +39,10 @@ class STMState(NamedTuple):
     # (drives difficulty-sorted chunking: docs with similar convergence
     # cost share scan chunks, so easy chunks exit the batched while_loop
     # early instead of running to the slowest doc's count)
+    # scalar int32: docs left at their pass-1 eta because the two-pass
+    # straggler budget overflowed (newton_straggler_frac too small for
+    # this corpus's difficulty distribution); 0 when the schedule is off
+    straggler_overflow: jax.Array = 0
 
 
 def init_state(

@@ -131,18 +131,27 @@ class STM:
         self._stream_parts = int(stream_parts or 0)
         if self._stream_parts > 1:
             # out-of-core path (models/streaming.py): the corpus stays
-            # in host RAM, one part at a time moves to the device
+            # in host RAM, one part at a time moves to the device(s).
+            # With a mesh, every part is document-sharded over it (each
+            # device streams its shard of each part) — 1-D doc meshes
+            # only: the vocab axis has no part-local psum wiring here.
             if mesh is not None:
-                raise ValueError(
-                    "stream_parts streams parts through ONE device; "
-                    "combine with mesh sharding is not supported"
-                )
-            if config.content or not config.lda_beta:
-                raise NotImplementedError(
-                    "streamed EM supports the LDA-style beta update only"
-                )
+                from strutopy_tpu.parallel.mesh import VOCAB_AXIS
+
+                if VOCAB_AXIS in mesh.axis_names:
+                    raise ValueError(
+                        "stream_parts composes with 1-D document meshes; "
+                        "vocab-sharded streaming is not supported"
+                    )
         if self._stream_parts > 1:
-            n_dev = self._stream_parts
+            if mesh is not None:
+                from strutopy_tpu.parallel.mesh import DOC_AXIS
+
+                # bucket sizes must divide evenly into parts AND into
+                # each part's document shards
+                n_dev = self._stream_parts * mesh.shape[DOC_AXIS]
+            else:
+                n_dev = self._stream_parts
         elif mesh is None:
             n_dev = 1
         else:
@@ -227,8 +236,18 @@ class STM:
         # ----- init -----
         np_rng = np.random.RandomState(config.seed)
         if config.init_type == "spectral":
+            from strutopy_tpu.parallel.mesh import VOCAB_AXIS
+
+            spectral_mesh = (
+                mesh
+                if mesh is not None
+                and VOCAB_AXIS not in mesh.axis_names
+                and self._stream_parts <= 1
+                else None
+            )
             beta_init = spectral_init(
-                corpus, config.K, self.V, maxV=config.spectral_max_v
+                corpus, config.K, self.V, maxV=config.spectral_max_v,
+                mesh=spectral_mesh,
             )
         else:
             # normalized Gamma(0.1, 1) rows (reference stm.py:425-428)
@@ -331,6 +350,15 @@ class STM:
 
         P = self._stream_parts
         n_total = bucket.words.shape[0]
+        if n_total % P:
+            # the bucket plan is built with n_devices=stream_parts, which
+            # guarantees divisibility today; pin the invariant so a future
+            # plan change cannot silently drop tail documents (ADVICE r2)
+            raise ValueError(
+                f"bucket size {n_total} is not divisible by "
+                f"stream_parts={P}; the padding plan must round to a "
+                "multiple of stream_parts * batch_size"
+            )
         part = n_total // P
         W, C, OK = bucket.words, bucket.counts, bucket.doc_ok
         A = np.ascontiguousarray(aspects_np, np.int32)
@@ -340,7 +368,11 @@ class STM:
             s = slice(p * part, (p + 1) * part)
             return (W[s], C[s], A[s], OK[s], D32[s])
 
-        sem = StreamedEM(cfg, self._design, provider, n_parts=P)
+        sem = StreamedEM(
+            cfg, self._design, provider, n_parts=P,
+            kappa_design=self._kappa_design, wcounts=self._wcounts,
+            mesh=self.mesh,
+        )
 
         def step(state, _data):
             parts = [
@@ -415,6 +447,15 @@ class STM:
                     from strutopy_tpu.utils.debug import validate_state
 
                     validate_state(self._state, it)
+                    ov = int(np.asarray(self._state.straggler_overflow))
+                    if ov > 0:
+                        logger.warning(
+                            "EM iteration %d: %d docs exceeded the two-pass "
+                            "straggler budget and kept their pass-1 eta; "
+                            "raise newton_straggler_frac (%.2f) if this "
+                            "persists at steady state",
+                            it, ov, cfg.newton_straggler_frac,
+                        )
                 self.last_bounds.append(bound)
                 self.docs_per_sec = self.N / max(it_dt, 1e-9)
                 logger.info(
@@ -502,6 +543,12 @@ class STM:
     @property
     def wcounts(self) -> np.ndarray:
         return self._wcounts
+
+    @property
+    def straggler_overflow(self) -> int:
+        """Docs the last E-step's two-pass straggler budget could not
+        admit (left at their pass-1 eta); 0 when the schedule is off."""
+        return int(np.asarray(self._state.straggler_overflow))
 
     # ------------------------------------------------------------------
     # inference on new documents (serving)

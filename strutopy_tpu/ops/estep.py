@@ -115,6 +115,9 @@ class EStepResult(NamedTuple):
     eta: jax.Array  # (N, K-1)
     theta: jax.Array  # (N, K)
     newton_iters: jax.Array  # (N,) int32 diagnostics
+    # scalar int32: unconverged docs the two-pass straggler budget could
+    # not admit (left at their pass-1 eta); 0 on the single-pass path
+    straggler_overflow: jax.Array = 0
 
 
 # ---------------------------------------------------------------------------
@@ -643,10 +646,17 @@ def _two_pass_estep(
     # ----- pass 2: densely packed stragglers, remaining budget -----
     rest = cfg.max_iters - cfg1.max_iters
     M = min(max(-(-int(straggler_frac * N) // B) * B, B), N)
+    overflow = jnp.sum((~done) & doc_ok).astype(jnp.int32)
     if rest > 0 and M > 0:
         cfg2 = cfg._replace(max_iters=rest)
         # ascending sort: unconverged (False=0) docs pack to the front
         idx = jnp.argsort(done)[:M]
+        # unconverged real docs the budget could NOT admit stay at their
+        # pass-1 eta — surfaced so callers can raise straggler_frac
+        # (ADVICE r2: silent under-convergence when >frac of docs need
+        # more than pass1_iters steps at steady state)
+        selected = jnp.zeros((N,), bool).at[idx].set(True)
+        overflow = jnp.sum((~done) & (~selected) & doc_ok).astype(jnp.int32)
         eta2, it2, _ = newton_scan(
             cfg2,
             words[idx].reshape(M // B, B, L),
@@ -690,6 +700,7 @@ def _two_pass_estep(
         eta=eta,
         theta=theta.reshape(N, K),
         newton_iters=iters,
+        straggler_overflow=overflow,
     )
 
 
@@ -741,7 +752,14 @@ def run_estep(
     B = min(batch_size, N)
     if N % B != 0:
         raise ValueError(f"N={N} must be a multiple of batch_size={B}; pad the corpus")
-    if pass1_iters and not use_pallas:
+    if pass1_iters and use_pallas:
+        # mirror STMConfig.__post_init__: direct callers must not get a
+        # silent single-pass fallback (ADVICE r2)
+        raise ValueError(
+            "pass1_iters (two-pass schedule) is incompatible with "
+            "use_pallas (the whole-loop kernel owns its iteration control)"
+        )
+    if pass1_iters:
         return _two_pass_estep(
             beta, mu, eta0, siginv, sigmaentropy, words, counts, aspects,
             doc_ok, cfg, B, pass1_iters, straggler_frac, vocab_axis,

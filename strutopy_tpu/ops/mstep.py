@@ -315,82 +315,210 @@ def build_kappa_design(K: int, A: int, interactions: bool) -> np.ndarray:
     return X
 
 
-def _poisson_newton_word(y, m_v, Xd, offset, alpha, n, iters, lp_clip=30.0):
-    """Damped Newton for one word's penalized Poisson regression.
+def _poisson_newton_batch(Y, m, Xd, offset, alpha, n, iters, W0,
+                          tol=1e-6, lp_clip=30.0):
+    """Batched damped Newton for a chunk of penalized Poisson regressions.
 
-    sklearn PoissonRegressor objective (fit_intercept=False):
+    One word's sklearn PoissonRegressor objective (fit_intercept=False):
       (1/n) sum_r [exp(z_r) - y_r z_r] + (alpha/2)||w||^2,
       z = m_v + offset + X w.
+    All Vc words of the chunk solve together as batched MXU work:
+      * gradient: one (P, R) @ (R, Vc) matmul,
+      * Hessians: one einsum -> (Vc, P, P),
+      * solves: blocked Cholesky + divide-and-conquer triangular
+        inverse (ops/linalg.py) — straight-line batched einsums instead
+        of the P-step sequential While loops XLA lowers LU/Cholesky to
+        on TPU (the same fix as the E-step finalize, RESULTS.md),
+      * line search: 6 halving steps evaluated for every word at once.
+    The while_loop exits when every word's gradient max-norm is below
+    ``tol`` (the reference fits each word to sklearn tol=1e-5,
+    stm.py:820) — warm-started solves (kappa0 from the previous EM
+    iteration) typically finish in 2-4 iterations instead of the fixed
+    cold-start budget.
+
+    Y (R, Vc); m (Vc,); Xd (R, P); offset (R,); W0 (P, Vc).
+    Returns (W (P, Vc), n_newton_iters scalar).
     """
-    P = Xd.shape[1]
+    from strutopy_tpu.ops.linalg import blocked_cholesky, tri_lower_inverse
+
+    R, P = Xd.shape
     dtype = Xd.dtype
+    eyeP = alpha * jnp.eye(P, dtype=dtype)
+    base = m[None, :] + offset[:, None]  # (R, Vc)
+    ts = jnp.asarray([1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125], dtype)
 
-    def obj(w):
-        z = jnp.clip(m_v + offset + Xd @ w, -lp_clip, lp_clip)
-        return jnp.sum(jnp.exp(z) - y * z) / n + 0.5 * alpha * jnp.dot(w, w)
+    def obj(W):
+        Z = jnp.clip(base + Xd @ W, -lp_clip, lp_clip)
+        return (
+            jnp.sum(jnp.exp(Z) - Y * Z, axis=0) / n
+            + 0.5 * alpha * jnp.sum(W * W, axis=0)
+        )  # (Vc,)
 
-    def body(_, carry):
-        w, f = carry
-        z = jnp.clip(m_v + offset + Xd @ w, -lp_clip, lp_clip)
-        lam = jnp.exp(z)
-        g = Xd.T @ (lam - y) / n + alpha * w
-        H = (Xd.T * lam[None, :]) @ Xd / n + alpha * jnp.eye(P, dtype=dtype)
-        p = -jnp.linalg.solve(H, g)
+    def cond(carry):
+        _, _, it, done = carry
+        return (it < iters) & ~jnp.all(done)
 
-        # 6-step halving line search, unrolled (static, cheap: P small)
-        def try_step(t):
-            return obj(w + t * p)
+    def body(carry):
+        W, F, it, done = carry
+        Z = jnp.clip(base + Xd @ W, -lp_clip, lp_clip)
+        lam = jnp.exp(Z)  # (R, Vc)
+        G = Xd.T @ ((lam - Y) / n) + alpha * W  # (P, Vc)
+        H = (
+            jnp.einsum("rp,rv,rq->vpq", Xd, lam, Xd,
+                       preferred_element_type=dtype) / n
+            + eyeP[None]
+        )  # (Vc, P, P), SPD
+        L = blocked_cholesky(H, block=16)
+        Wi = tri_lower_inverse(L)  # L^{-1}; H^{-1} = Wi^T Wi
+        U = jnp.einsum("vpq,qv->vp", Wi, G, preferred_element_type=dtype)
+        D = -jnp.einsum("vqp,vq->pv", Wi, U,
+                        preferred_element_type=dtype)  # (P, Vc)
 
-        ts = jnp.asarray([1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125], dtype)
-        fs = jax.vmap(try_step)(ts)
-        best = jnp.argmin(fs)
-        t, fnew = ts[best], fs[best]
-        improved = fnew < f
-        w = jnp.where(improved, w + t * p, w)
-        f = jnp.where(improved, fnew, f)
-        return (w, f)
+        # halving line search, all (step, word) pairs at once; the
+        # candidate objectives are evaluated on W + t*D directly (not
+        # incrementally from XW + t*XD) so accepted steps agree with
+        # the next iteration's fresh evaluation to the last f32 bit
+        Ws = W[None] + ts[:, None, None] * D[None]  # (T, P, Vc)
+        Zs = jnp.clip(
+            base[None] + jnp.einsum("rp,tpv->trv", Xd, Ws,
+                                    preferred_element_type=dtype),
+            -lp_clip, lp_clip,
+        )  # (T, R, Vc)
+        Fs = (
+            jnp.sum(jnp.exp(Zs) - Y[None] * Zs, axis=1) / n
+            + 0.5 * alpha * jnp.sum(Ws * Ws, axis=1)
+        )  # (T, Vc)
+        best = jnp.argmin(Fs, axis=0)  # (Vc,)
+        t_best = ts[best]
+        f_new = jnp.min(Fs, axis=0)
+        improved = f_new < F
+        gnorm = jnp.max(jnp.abs(G), axis=0)  # (Vc,)
+        step = improved & ~done
+        W = jnp.where(step[None, :], W + t_best[None, :] * D, W)
+        F = jnp.where(step, f_new, F)
+        # a word is done when its gradient meets tol or the line search
+        # stalls (no halving step improves a convex objective only at
+        # the f32 noise floor)
+        done = done | (gnorm < tol) | ~improved
+        return (W, F, it + 1, done)
 
-    w0 = jnp.zeros((P,), dtype)
-    w, _ = jax.lax.fori_loop(0, iters, body, (w0, obj(w0)))
-    return w
+    done0 = jnp.zeros((Y.shape[1],), bool)
+    W, _, n_it, _ = jax.lax.while_loop(
+        cond, body, (W0, obj(W0), jnp.zeros((), jnp.int32), done0)
+    )
+    return W, n_it
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+def _poisson_newton_word(y, m_v, Xd, offset, alpha, n, iters,
+                         w0=None, tol=1e-7, lp_clip=30.0):
+    """Single-word wrapper over :func:`_poisson_newton_batch` (tests)."""
+    dtype = Xd.dtype
+    if w0 is None:
+        w0 = jnp.zeros((Xd.shape[1],), dtype)
+    W, _ = _poisson_newton_batch(
+        y[:, None], jnp.reshape(m_v, (1,)), Xd, offset, alpha, n, iters,
+        w0[:, None], tol=tol, lp_clip=lp_clip,
+    )
+    return W[:, 0]
+
+
+def _kappa_vchunk(V: int, P: int, budget_floats: int = 32_000_000) -> int:
+    """Words per scan chunk: bounds the (Vc, P, P) Hessian workspace to
+    ~128 MB while keeping chunks MXU-sized."""
+    c = max(256, budget_floats // max(P * P, 1))
+    c = 1 << (c.bit_length() - 1)  # round down to a power of two
+    return min(V, c)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "vocab_psum", "vocab_pmax")
+)
 def update_beta_content(
-    beta_ss,  # (A, K, V) or (K, V)
-    wcounts,  # (V,) corpus-wide word counts
+    beta_ss,  # (A, K, V) or (K, V) — the LOCAL shard when vocab-sharded
+    wcounts,  # (V,) corpus-wide word counts (local shard when sharded)
     kappa_design,  # ((A*K), P) from build_kappa_design (encodes A/interactions)
     alpha: float = 250.0,
     iters: int = 40,
+    kappa0=None,  # (P, V) warm start (previous EM iteration's kappa)
+    tol: float = 1e-6,
+    vocab_psum=None,  # sum-reduce over the vocab mesh axis (sharded)
+    vocab_pmax=None,  # max-reduce over the vocab mesh axis (sharded)
+    wcounts_total=None,  # scalar sum over the FULL vocab (sharded)
 ):
     """Content model: V parallel Poisson regressions -> (beta, kappa).
 
     Reference mnreg (stm.py:749-853): counts ((A*K), V) = stacked
     beta_ss; fixed intercept m = log relative word frequency; offset =
     log row totals; per-word sklearn PoissonRegressor(alpha=250);
-    predictions row-softmaxed into beta.  Here the V fits are one
-    vmapped damped-Newton solve.
+    predictions row-softmaxed into beta.  Here the V fits run as
+    word-chunked batched damped Newton (:func:`_poisson_newton_batch`)
+    scanned over chunks, warm-started from ``kappa0`` — the previous EM
+    iteration's kappa makes steady-state updates converge in a few
+    Newton steps instead of the reference's cold per-word refits.
+
+    Vocab sharding: the per-word solves are independent, so each device
+    fits only the words of its shard; the cross-shard quantities are
+    three (A*K)-sized reductions — the offset row totals
+    (``vocab_psum``), the row max and the row normalizer of the final
+    softmax (``vocab_pmax`` + ``vocab_psum``) — plus the scalar
+    ``wcounts_total``.
     """
     dtype = beta_ss.dtype
     if beta_ss.ndim == 3:
         counts = beta_ss.reshape(-1, beta_ss.shape[-1])  # ((A*K), V)
     else:
         counts = beta_ss
-    V = counts.shape[1]
-    n = jnp.asarray(counts.shape[0], dtype)
+    R, V = counts.shape
+    n = jnp.asarray(R, dtype)
 
-    m = jnp.log(jnp.maximum(wcounts, 1e-10)) - jnp.log(jnp.maximum(jnp.sum(wcounts), 1e-10))
-    offset = jnp.log(jnp.maximum(jnp.sum(counts, axis=1), 1e-10))  # ((A*K),)
+    wc_total = jnp.sum(wcounts) if wcounts_total is None else wcounts_total
+    m = jnp.log(jnp.maximum(wcounts, 1e-10)) - jnp.log(jnp.maximum(wc_total, 1e-10))
+    m = m.astype(dtype)
+    row_tot = jnp.sum(counts, axis=1)  # ((A*K),)
+    if vocab_psum is not None:
+        row_tot = vocab_psum(row_tot)
+    offset = jnp.log(jnp.maximum(row_tot, 1e-10))  # ((A*K),)
     Xd = jnp.asarray(kappa_design, dtype)
+    P = Xd.shape[1]
+    if kappa0 is None:
+        kappa0 = jnp.zeros((P, V), dtype)
 
-    solve = jax.vmap(_poisson_newton_word, in_axes=(1, 0, None, None, None, None, None))
-    kappa_T = solve(counts, m, Xd, offset, jnp.asarray(alpha, dtype), n, iters)  # (V, P)
-    kappa = kappa_T.T  # (P, V)
+    Vc = _kappa_vchunk(V, P)
+    nc = -(-V // Vc)
+    Vp = nc * Vc
+    if Vp != V:
+        # pad with silent words (count 0, vanishing frequency): their
+        # solves sit at the converged w=0 point immediately
+        counts = jnp.pad(counts, ((0, 0), (0, Vp - V)))
+        m = jnp.pad(m, (0, Vp - V), constant_values=jnp.log(1e-10))
+        kappa0 = jnp.pad(kappa0, ((0, 0), (0, Vp - V)))
 
-    linpred = m[None, :] + Xd @ kappa  # ((A*K), V)
-    linpred = linpred - jnp.max(linpred, axis=1, keepdims=True)
-    expl = jnp.exp(linpred)
-    beta = expl / jnp.sum(expl, axis=1, keepdims=True)
+    Yc = counts.reshape(R, nc, Vc).transpose(1, 0, 2)  # (nc, R, Vc)
+    mc = m.reshape(nc, Vc)
+    W0c = kappa0.reshape(P, nc, Vc).transpose(1, 0, 2)  # (nc, P, Vc)
+    alpha_ = jnp.asarray(alpha, dtype)
+
+    def chunk_fn(it_max, chunk):
+        Y, mv, W0 = chunk
+        W, n_it = _poisson_newton_batch(
+            Y, mv, Xd, offset, alpha_, n, iters, W0, tol=tol
+        )
+        return jnp.maximum(it_max, n_it), W
+
+    kappa_iters, Wc = jax.lax.scan(
+        chunk_fn, jnp.zeros((), jnp.int32), (Yc, mc, W0c)
+    )
+    kappa = Wc.transpose(1, 0, 2).reshape(P, Vp)[:, :V]
+
+    linpred = m[None, :V] + Xd @ kappa  # ((A*K), V)
+    mx = jnp.max(linpred, axis=1, keepdims=True)
+    if vocab_pmax is not None:
+        mx = vocab_pmax(mx)
+    expl = jnp.exp(linpred - mx)
+    norm = jnp.sum(expl, axis=1, keepdims=True)
+    if vocab_psum is not None:
+        norm = vocab_psum(norm)
+    beta = expl / norm
     if beta_ss.ndim == 3:
         beta = beta.reshape(beta_ss.shape)
     return beta, kappa

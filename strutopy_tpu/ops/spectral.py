@@ -38,13 +38,11 @@ from strutopy_tpu.corpus.bow import PaddedCorpus, pad_corpus
 logger = logging.getLogger(__name__)
 
 
-@functools.partial(jax.jit, static_argnames=("n_chunks", "Vp"))
-def _gram_scan(words, counts, n_chunks: int, Vp: int):
-    """Q = sum_d outer(h_d, h_d) - diag(sum_d dtm_d / div_d), chunked.
+def _gram_accum(words, counts, n_chunks: int, Vp: int):
+    """Per-shard partial sums of the Gram statistics, chunked.
 
-    words/counts: (N, L) already remapped to the filtered vocab
-    (dropped terms have count 0); documents with < 2 tokens must have
-    all-zero counts.
+    Returns (sum_d outer(h~_d, h~_d), sum_d dtm_d / div_d) — plain sums
+    over documents, so document shards combine with one psum.
     """
     N, L = words.shape
     B = N // n_chunks
@@ -67,10 +65,63 @@ def _gram_scan(words, counts, n_chunks: int, Vp: int):
     Q0 = jnp.zeros((Vp, Vp), counts.dtype)
     h0 = jnp.zeros((Vp,), counts.dtype)
     (Q, hhat), _ = jax.lax.scan(chunk_fn, (Q0, h0), (w_chunks, c_chunks))
+    return Q, hhat
+
+
+def _gram_finish(Q, hhat):
     Q = Q - jnp.diag(hhat)
     row_sums = jnp.sum(Q, axis=1, keepdims=True)
     Q = Q / jnp.maximum(row_sums, 1e-30)
     return Q, row_sums[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunks", "Vp"))
+def _gram_scan(words, counts, n_chunks: int, Vp: int):
+    """Q = sum_d outer(h_d, h_d) - diag(sum_d dtm_d / div_d), chunked.
+
+    words/counts: (N, L) already remapped to the filtered vocab
+    (dropped terms have count 0); documents with < 2 tokens must have
+    all-zero counts.
+    """
+    return _gram_finish(*_gram_accum(words, counts, n_chunks, Vp))
+
+
+def _gram_scan_sharded(mesh, words_f, counts_f, B: int, Vp: int):
+    """Gram matrix over a document mesh (SURVEY §2.5 item 2): each
+    device scans its document shard and the (Vp, Vp) partial sums psum
+    once over ICI; the normalization runs replicated.
+
+    Pads the document count to a multiple of mesh_size * B (padding
+    rows have zero counts, contributing nothing to either sum).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from strutopy_tpu.parallel.mesh import DOC_AXIS
+
+    n_dev = mesh.shape[DOC_AXIS]
+    N = words_f.shape[0]
+    gran = n_dev * B
+    N_pad = -(-N // gran) * gran
+    if N_pad != N:
+        words_f = np.pad(words_f, ((0, N_pad - N), (0, 0)))
+        counts_f = np.pad(counts_f, ((0, N_pad - N), (0, 0)))
+    n_chunks = (N_pad // n_dev) // B
+
+    def local(w, c):
+        Q, hhat = _gram_accum(w, c, n_chunks, Vp)
+        return jax.lax.psum(Q, DOC_AXIS), jax.lax.psum(hhat, DOC_AXIS)
+
+    doc = P(DOC_AXIS)
+    sharded = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(doc, doc), out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    sh = NamedSharding(mesh, doc)
+    Q, hhat = sharded(
+        jax.device_put(jnp.asarray(words_f), sh),
+        jax.device_put(jnp.asarray(counts_f), sh),
+    )
+    return jax.jit(_gram_finish)(Q, hhat)
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
@@ -153,6 +204,7 @@ def spectral_init(
     maxV: int = 5000,
     verbose: bool = False,
     dtype=jnp.float32,
+    mesh=None,
 ) -> np.ndarray:
     """Deterministic anchor-word beta initialization (K, V).
 
@@ -160,6 +212,10 @@ def spectral_init(
     spectral_init (stm.py:30-84): top-``maxV`` frequency filter, Gram
     matrix, greedy anchors, L2 recovery, re-expansion with a
     ``0.001/V`` pseudocount.
+
+    With ``mesh`` (a 1-D document mesh), the N-dependent stage — the
+    Gram accumulation — runs document-sharded with one (Vp, Vp) psum;
+    anchor finding and L2 recovery are O(Vp^2) and run replicated.
     """
     if not isinstance(corpus, PaddedCorpus):
         corpus = pad_corpus(corpus, V=V)
@@ -188,15 +244,19 @@ def spectral_init(
     # pad docs to a chunking-friendly multiple
     N = words_f.shape[0]
     B = min(1024, N)
-    n_chunks = -(-N // B)
-    N_pad = n_chunks * B
-    if N_pad != N:
-        words_f = np.pad(words_f, ((0, N_pad - N), (0, 0)))
-        counts_f = np.pad(counts_f, ((0, N_pad - N), (0, 0)))
-
-    Q, row_sums = _gram_scan(
-        jnp.asarray(words_f), jnp.asarray(counts_f, dtype), n_chunks, Vp
-    )
+    if mesh is not None:
+        Q, row_sums = _gram_scan_sharded(
+            mesh, words_f, counts_f.astype(np.float32), B, Vp
+        )
+    else:
+        n_chunks = -(-N // B)
+        N_pad = n_chunks * B
+        if N_pad != N:
+            words_f = np.pad(words_f, ((0, N_pad - N), (0, 0)))
+            counts_f = np.pad(counts_f, ((0, N_pad - N), (0, 0)))
+        Q, row_sums = _gram_scan(
+            jnp.asarray(words_f), jnp.asarray(counts_f, dtype), n_chunks, Vp
+        )
     if verbose:
         logger.info("spectral_init: gram done, finding %d anchors", K)
     anchor = fast_anchor(Q, K)

@@ -29,10 +29,16 @@ from strutopy_tpu.parallel.mesh import DOC_AXIS, VOCAB_AXIS
 def _state_specs(content: bool, vocab_sharded: bool = False):
     """PartitionSpecs for STMState: per-doc arrays shard, params replicate.
 
-    With ``vocab_sharded``, beta additionally shards its vocab (last)
-    dimension over the VOCAB mesh axis (SURVEY §2.5's "V-sharding for
-    large K×V": per-chip beta memory drops by the vocab mesh size)."""
-    beta_spec = P(None, VOCAB_AXIS) if vocab_sharded else P()
+    With ``vocab_sharded``, beta (and kappa, whose columns are words)
+    additionally shard their vocab (last) dimension over the VOCAB mesh
+    axis (SURVEY §2.5's "V-sharding for large K×V": per-chip beta
+    memory drops by the vocab mesh size)."""
+    if vocab_sharded:
+        beta_spec = P(None, None, VOCAB_AXIS) if content else P(None, VOCAB_AXIS)
+        kappa_spec = P(None, VOCAB_AXIS)
+    else:
+        beta_spec = P()
+        kappa_spec = P()
     return STMState(
         beta=beta_spec,
         mu=P(DOC_AXIS),
@@ -40,9 +46,10 @@ def _state_specs(content: bool, vocab_sharded: bool = False):
         eta=P(DOC_AXIS),
         theta=P(DOC_AXIS),
         gamma=P(),
-        kappa=P(),
+        kappa=kappa_spec,
         bound=P(),
         opt_iters=P(DOC_AXIS),
+        straggler_overflow=P(),
     )
 
 
@@ -83,13 +90,6 @@ def make_sharded_em_step(
     doc-sharded (replicated across vocab shards).
     """
     vocab_sharded = VOCAB_AXIS in mesh.axis_names
-    if vocab_sharded and (cfg.content or not cfg.lda_beta):
-        raise NotImplementedError(
-            "vocab sharding currently supports the LDA-style beta update "
-            "only; the content-model kappa regression needs replicated "
-            "beta_ss (its (A*K, V) GLM couples aspects across the full "
-            "vocabulary)"
-        )
     state_specs = _state_specs(cfg.content, vocab_sharded)
     data_specs = _data_specs(n_buckets)
 
@@ -135,12 +135,6 @@ def shard_corpus(mesh: Mesh, data: CorpusData) -> CorpusData:
 def shard_state(mesh: Mesh, state: STMState, content: bool = False) -> STMState:
     vocab_sharded = VOCAB_AXIS in mesh.axis_names
     if vocab_sharded:
-        if state.beta.ndim != 2:
-            raise NotImplementedError(
-                "vocab sharding currently supports the LDA-style (K, V) "
-                "beta only; the content model's (A, K, V) beta needs the "
-                "replicated path"
-            )
         nv = mesh.shape[VOCAB_AXIS]
         V = state.beta.shape[-1]
         if V % nv:

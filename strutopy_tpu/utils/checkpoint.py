@@ -45,6 +45,8 @@ def load_checkpoint(path: str) -> Tuple[STMState, list, int, Optional[str]]:
         # field needs its own default here, or old checkpoints fail.
         if "opt_iters" not in fields and "eta" in fields:
             fields["opt_iters"] = jnp.zeros(fields["eta"].shape[0], jnp.int32)
+        if "straggler_overflow" not in fields:
+            fields["straggler_overflow"] = jnp.zeros((), jnp.int32)
         missing = [f for f in STMState._fields if f not in fields]
         if missing:
             raise ValueError(

@@ -57,3 +57,44 @@ def test_chunk_it():
     out = chunk_it(list(range(10)), 3)
     assert sum(len(c) for c in out) == 10
     assert [x for c in out for x in c] == list(range(10))
+
+
+def test_content_effect_recovers_planted_contrast(tmp_path):
+    """estimate_content_effect (round 3, reference README.md:44-45
+    'topical content' estimates): a word planted to be hot in aspect 1
+    must top the z-ranking, and rare words must carry large se."""
+    import numpy as np
+
+    from strutopy_tpu.eval.effects import (
+        estimate_content_effect,
+        plot_content_effect,
+    )
+
+    rng = np.random.default_rng(0)
+    A, K, V, N = 2, 3, 40, 200
+    base = rng.dirichlet(np.ones(V), size=K)  # (K, V)
+    beta = np.stack([base, base.copy()])  # (A, K, V)
+    beta[1, 0, 0] *= 8.0  # word 0 strongly favors aspect 1 in topic 0
+    beta[1, 0, 1] /= 8.0  # word 1 favors aspect 0
+    beta /= beta.sum(axis=-1, keepdims=True)
+
+    theta = rng.dirichlet(np.ones(K), size=N)
+    lengths = np.full(N, 200.0)
+    aspect = rng.integers(0, A, N)
+    vocab = [f"w{i}" for i in range(V)]
+
+    eff = estimate_content_effect(
+        beta, theta, lengths, aspect, aspects=(0, 1), n=5, vocab=vocab
+    )
+    assert eff["contrast"].shape == (K, V)
+    top0 = eff["top"][0]
+    assert top0["favoring_a1"][0][0] == "w0"
+    assert top0["favoring_a0"][0][0] == "w1"
+    assert top0["favoring_a1"][0][3] > 2.0  # decisive z
+    # a topic with no planted contrast: no |z| should be extreme
+    z1 = np.abs(eff["z"][1])
+    assert z1.max() < np.abs(eff["z"][0]).max()
+
+    p = tmp_path / "content_effect.png"
+    plot_content_effect(eff, topic_pos=0, path=str(p))
+    assert p.exists() and p.stat().st_size > 0

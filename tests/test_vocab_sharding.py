@@ -140,24 +140,44 @@ def test_vocab_sharded_multi_bucket(toy_metadata):
 
 
 @needs8
-def test_vocab_sharding_rejects_content_model(toy_corpus, toy_dictionary):
+def test_vocab_sharded_content_model(toy_corpus, toy_dictionary):
+    """Content model under a 2-D (docs, vocab) mesh (round 3): the
+    per-word kappa GLMs are shard-local; the cross-shard quantities are
+    the offset row totals and the beta softmax row max/normalizer (two
+    (A*K)-sized vocab-axis collectives) — the fit must match the
+    single-device content fit."""
     train_docs = toy_corpus.train_docs
     n = len(train_docs)
     beta_index = np.random.default_rng(0).integers(0, 2, n)
-    with pytest.raises(NotImplementedError, match="vocab sharding"):
-        STM(
-            documents=train_docs,
-            dictionary=_padded_dictionary(toy_dictionary),
-            K=3,
-            X=beta_index,
-            content=True,
-            A=2,
-            beta_index=beta_index,
-            lda_beta=False,
-            max_em_iter=1,
-            init_type="random",
-            mesh=make_mesh_2d(2, 4),
-        )
+    kwargs = dict(
+        documents=train_docs,
+        dictionary=_padded_dictionary(toy_dictionary),
+        K=3,
+        X=beta_index.astype(float),
+        content=True,
+        A=2,
+        beta_index=beta_index,
+        lda_beta=False,
+        kappa_interactions=True,
+        max_em_iter=2,
+        init_type="random",
+        model_type="CTM",
+        seed=123456,
+    )
+    m1 = STM(**kwargs)
+    m1.expectation_maximization(saving=False)
+
+    mesh = make_mesh_2d(2, 4)
+    mv = STM(**kwargs, mesh=mesh)
+    assert mv._state.beta.sharding.spec[-1] == VOCAB_AXIS
+    assert mv._state.kappa.sharding.spec[-1] == VOCAB_AXIS
+    mv.expectation_maximization(saving=False)
+
+    np.testing.assert_allclose(
+        np.asarray(mv.last_bounds), np.asarray(m1.last_bounds), rtol=2e-4
+    )
+    np.testing.assert_allclose(mv.beta, m1.beta, atol=2e-4)
+    np.testing.assert_allclose(mv.kappa, m1.kappa, atol=2e-3)
 
 
 def test_make_mesh_2d_raises_on_insufficient_devices():
