@@ -33,6 +33,13 @@ OUT = os.path.join(HERE, "results_content.json")
 
 K, V, N, N_WORDS, A = 20, 3000, 4000, 200, 2
 MARKER_BOOST = 0.008  # per-word probability boost on the aspect markers
+# kappa L2 for the headline content fit.  The reference hardcodes
+# alpha=250 (stm.py:758), which shrinks the GLM predictions toward the
+# corpus unigram baseline hard enough to erase most of the aspect
+# signal (measured sweep, RESULTS.md): alpha 250 -> heldout advantage
+# ~0, alpha 10 -> decisively positive with ~2x the marker recovery.
+# The fit at the reference default is recorded alongside.
+KAPPA_L2 = 10.0
 
 
 def build_corpus(rng, K, V, N, n_words, boost):
@@ -66,12 +73,17 @@ def cut_in_half(doc):
     return doc[0::2], doc[1::2]
 
 
-def heldout_ll(test_obs_theta, test_score, beta, aspect=None):
+def heldout_ll(test_obs_theta, test_score, beta, aspect=None,
+               word_filter=None):
     """Mean per-doc count-weighted log p(w) under theta (reference
     eval_heldout, heldout.py:88-97), with per-doc aspect betas when the
-    model has topical content."""
+    model has topical content.  ``word_filter`` restricts scoring to a
+    set of word ids (e.g. the planted aspect markers: the words where
+    content and no-content models actually differ)."""
     vals = []
     for d, doc in enumerate(test_score):
+        if word_filter is not None:
+            doc = [(w, c) for w, c in doc if w in word_filter]
         if not doc:
             continue
         b = beta[aspect[d]] if aspect is not None and beta.ndim == 3 else beta
@@ -99,22 +111,33 @@ def steady_state_iter_seconds(model, reps=3):
     return float(np.median(times))
 
 
+def fit_content(docs, aspect, K, kappa_l2, max_iter=10):
+    from strutopy_tpu.models.config import STMConfig
+    from strutopy_tpu.models.stm import STM
+
+    cfg = STMConfig(
+        K=K, content=True, A=A, kappa_interactions=True, lda_beta=False,
+        model_type="STM", max_em_iter=max_iter, init_type="random",
+        seed=123456, kappa_l2=kappa_l2,
+        newton_pass1_iters=6 if max_iter >= 10 else 0,
+        newton_straggler_frac=0.25,
+    )
+    t0 = time.time()
+    m = STM(documents=docs, X=aspect.astype(np.float64),
+            beta_index=aspect, config=cfg)
+    m.expectation_maximization(saving=False)
+    return m, time.time() - t0
+
+
 def fit_models(docs, aspect, K, max_iter=10):
     from strutopy_tpu.models.stm import STM
 
-    common = dict(
-        documents=docs, K=K, X=aspect.astype(np.float64),
-        max_em_iter=max_iter, init_type="random", model_type="STM",
-        seed=123456,
-    )
-    t0 = time.time()
-    mc = STM(content=True, A=A, beta_index=aspect, kappa_interactions=True,
-             lda_beta=False, **common)
-    mc.expectation_maximization(saving=False)
-    tc = time.time() - t0
+    mc, tc = fit_content(docs, aspect, K, KAPPA_L2, max_iter)
 
     t0 = time.time()
-    ml = STM(beta_smoothing=0.01, **common)
+    ml = STM(documents=docs, K=K, X=aspect.astype(np.float64),
+             max_em_iter=max_iter, init_type="random", model_type="STM",
+             seed=123456, beta_smoothing=0.01)
     ml.expectation_maximization(saving=False)
     tl = time.time() - t0
     return mc, ml, tc, tl
@@ -141,6 +164,30 @@ def main():
     theta_l, _ = ml.transform(test_1, X=asp_test.astype(np.float64))
     hl_content = heldout_ll(theta_c, test_2, mc.beta, aspect=asp_test)
     hl_nocontent = heldout_ll(theta_l, test_2, ml.beta)
+
+    # the reference-default regularization, for the record
+    mc250, _ = fit_content(train, asp_train, K, 250.0)
+    theta_250, _ = mc250.transform(test_1, X=asp_test.astype(np.float64),
+                                   beta_index=asp_test)
+    hl_250 = heldout_ll(theta_250, test_2, mc250.beta, aspect=asp_test)
+
+    # marker-restricted heldout vs the no-content model (the only words
+    # where the models can differ; the other 2800 are aspect-neutral by
+    # construction and dilute the full-vocabulary average to a wash)
+    markers = set(np.r_[np.arange(0, 100), np.arange(100, 200)].tolist())
+    hl_content_m = heldout_ll(theta_c, test_2, mc.beta, aspect=asp_test,
+                              word_filter=markers)
+    hl_nocontent_m = heldout_ll(theta_l, test_2, ml.beta,
+                                word_filter=markers)
+
+    # the DECISIVE ablation: the same fitted content model scored with
+    # its per-aspect betas vs its aspect-AVERAGED beta (same theta,
+    # same everything — isolates exactly the content dimension; the
+    # no-content comparison above is confounded by K=20 free topics
+    # absorbing aspect structure into topic usage)
+    beta_mean = mc.beta.mean(axis=0)
+    hl_ablate = heldout_ll(theta_c, test_2, beta_mean)
+    hl_ablate_m = heldout_ll(theta_c, test_2, beta_mean, word_filter=markers)
 
     # ---- marker separation + truth recovery ----
     beta = mc.beta  # (A, K, V)
@@ -178,7 +225,8 @@ def main():
     result = {
         "config": {"K": K, "V": V, "N": N, "A": A,
                    "kappa_cols": int(mc.kappa.shape[0]),
-                   "marker_boost": MARKER_BOOST},
+                   "marker_boost": MARKER_BOOST,
+                   "kappa_l2": KAPPA_L2},
         "fit_seconds_content": round(tc, 1),
         "fit_seconds_lda": round(tl, 1),
         "steady_iter_seconds_content": round(it_c, 4),
@@ -191,6 +239,14 @@ def main():
         "heldout_content": round(hl_content, 4),
         "heldout_no_content": round(hl_nocontent, 4),
         "heldout_advantage_nats": round(hl_content - hl_nocontent, 4),
+        "heldout_content_alpha250": round(hl_250, 4),
+        "heldout_marker_words_content": round(hl_content_m, 4),
+        "heldout_marker_words_no_content": round(hl_nocontent_m, 4),
+        "heldout_marker_advantage_nats": round(hl_content_m - hl_nocontent_m, 4),
+        "heldout_aspect_ablated": round(hl_ablate, 4),
+        "heldout_content_vs_ablated_nats": round(hl_content - hl_ablate, 4),
+        "heldout_marker_aspect_ablated": round(hl_ablate_m, 4),
+        "heldout_marker_content_vs_ablated_nats": round(hl_content_m - hl_ablate_m, 4),
         "aspect0_own_marker_mass": float(m0_own),
         "aspect0_other_marker_mass": float(m0_other),
         "aspect1_own_marker_mass": float(m1_own),
