@@ -386,6 +386,34 @@ def _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg: NewtonConfig,
         jnp.zeros(B, bool) if done0 is None else done0,
         jnp.zeros(B, jnp.int32),
     )
+    if cfg.mosaic_safe:
+        # Mosaic (round-3 probe, results_pallas_probe.json) fails to
+        # legalize scf.yield of 1-D i1/i32 VECTOR loop carries (their
+        # replicated-pad vpad layouts); scalars and f32 vectors are
+        # fine.  Carry f32 surrogates for done/n_iters across the
+        # while_loop and convert at the region boundary — the body's
+        # internal bool/int logic is untouched.
+        dt = eta0.dtype
+
+        def cond_f(st):
+            _eta, it, done_f, _n = st
+            return jnp.logical_and(it < cfg.max_iters, jnp.min(done_f) < 0.5)
+
+        def body_f(st):
+            eta, it, done_f, n_f = st
+            eta, it2, done, n = body(
+                (eta, it, done_f > 0.5, n_f.astype(jnp.int32))
+            )
+            return (eta, it2, done.astype(dt), n.astype(dt))
+
+        st0f = (st0[0], st0[1], st0[2].astype(dt), st0[3].astype(dt))
+        if cfg.fixed_iters:
+            eta, _, done_f, n_f = jax.lax.fori_loop(
+                0, cfg.max_iters, lambda _, st: body_f(st), st0f
+            )
+        else:
+            eta, _, done_f, n_f = jax.lax.while_loop(cond_f, body_f, st0f)
+        return eta, n_f.astype(jnp.int32), done_f > 0.5
     if cfg.fixed_iters:
         eta, _, done, n_iters = jax.lax.fori_loop(
             0, cfg.max_iters, lambda _, st: body(st), st0

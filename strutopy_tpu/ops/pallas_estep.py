@@ -38,6 +38,22 @@ compile and run on the same toolchain.  The crash is therefore
 specific to the combined loop body size/structure, not to any single
 documented constraint.  Minimal repro: STMConfig(use_pallas=True) on
 any fit, or tests/test_pallas.py with interpret=False on a TPU.
+
+STATUS (round 3, 2026-08-17): RESOLVED and MEASURED.  The round-3
+probe (benchmarks/pallas_loop_probe.py) surfaced the real Mosaic
+diagnostic — `failed to legalize operation 'scf.yield'` on the Newton
+while_loop's 1-D i1/i32 vector carries — and the f32-carry fix in
+ops/estep.py::_batched_newton (mosaic_safe path carries f32
+surrogates for done/n_iters) legalizes the kernel at every block
+size.  Measured on real v5e at K=100 and K=200
+(benchmarks/results_pallas_loop_K{100,200}.json): the kernel runs
+with bound parity ~2e-7 but LOSES to the XLA path — ~24.5k docs/s vs
+41.5k XLA single-pass (68.9k two-pass) at K=100 — the same
+op-granularity-vs-batching tradeoff pallas_iter measured: the
+mosaic-safe per-doc 2-D dots keep the MXU far less busy than XLA's
+batched (B, K, L) einsums, and that costs more than the VMEM
+residency of beta_doc saves in HBM traffic.  The flag stays off; the
+production recipe remains XLA everywhere + pallas_cg at K>=200.
 """
 
 from __future__ import annotations
