@@ -178,3 +178,45 @@ def semantic_coherence(beta: np.ndarray, documents, M: int = 10) -> np.ndarray:
                 s += np.log((co[i, j] + 1.0) / max(doc_freq[j], 1.0))
         scores[k] = s
     return scores
+
+
+def sage_labels(
+    beta: np.ndarray,
+    vocab,
+    kappa: Optional[np.ndarray] = None,
+    kappa_design: Optional[np.ndarray] = None,
+    n: int = 7,
+):
+    """Per-(aspect, topic) top words for content models — the R-stm
+    ``sageLabels`` analogue (the reference's label_topics marginalizes
+    aspects away; its README promises content-covariate summaries,
+    README.md:44-45, with no implementation).
+
+    Returns a dict with:
+      ``marginal``: top-n words per topic of the aspect-averaged beta;
+      ``by_aspect``: [A][K] lists of top-n words of beta[a, k];
+      ``kappa_aspect`` (when ``kappa``+``kappa_design`` are given):
+        per aspect, the n words with the largest aspect-column kappa
+        coefficients — the words each covariate level loads on,
+        independent of topic.
+    """
+    beta = np.asarray(beta, np.float64)
+    assert beta.ndim == 3, "sage_labels needs an (A, K, V) content beta"
+    A, K, V = beta.shape
+
+    def top(row):
+        return [vocab[i] for i in np.argsort(-row)[:n]]
+
+    out = {
+        "marginal": [top(r) for r in beta.mean(axis=0)],
+        "by_aspect": [[top(beta[a, k]) for k in range(K)] for a in range(A)],
+    }
+    if kappa is not None and kappa_design is not None:
+        kappa = np.asarray(kappa, np.float64)  # (P, V)
+        Xd = np.asarray(kappa_design)  # ((A*K), P)
+        # aspect-indicator columns: the design's K..K+A block
+        # (build_kappa_design layout) when A >= 2
+        if Xd.shape[1] >= K + A and A >= 2:
+            asp_cols = kappa[K : K + A]  # (A, V)
+            out["kappa_aspect"] = [top(asp_cols[a]) for a in range(A)]
+    return out

@@ -648,6 +648,16 @@ class STM:
     def find_thoughts(self, topics, threshold: float = 0.0, n: int = 3):
         return diagnostics.find_thoughts(self.theta, topics, threshold=threshold, n=n)
 
+    def sage_labels(self, n: int = 7):
+        """Per-(aspect, topic) top words of a content model (R-stm
+        ``sageLabels`` analogue; see eval/diagnostics.py)."""
+        if self.beta.ndim != 3:
+            raise ValueError("sage_labels needs a content model (A-aspect beta)")
+        return diagnostics.sage_labels(
+            self.beta, self.dictionary, kappa=self.kappa,
+            kappa_design=self._kappa_design, n=n,
+        )
+
     def exclusivity(self, M: int = 10, w: float = 0.7) -> np.ndarray:
         beta = self.beta
         if beta.ndim == 3:

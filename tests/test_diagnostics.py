@@ -78,3 +78,34 @@ def test_semantic_coherence():
     )
     scores = diagnostics.semantic_coherence(beta, docs_co, M=2)
     assert scores[0] > scores[1]
+
+
+def test_sage_labels_per_aspect():
+    """sage_labels (round 3): per-aspect top words must reflect planted
+    aspect-specific boosts that the marginal labels average away."""
+    import numpy as np
+
+    from strutopy_tpu.eval.diagnostics import sage_labels
+    from strutopy_tpu.ops.mstep import build_kappa_design
+
+    rng = np.random.default_rng(0)
+    A, K, V = 2, 3, 30
+    base = rng.dirichlet(np.ones(V), size=K)
+    beta = np.stack([base, base.copy()])
+    beta[1, :, 0] *= 50.0  # word 0 is an aspect-1 marker in every topic
+    beta /= beta.sum(axis=-1, keepdims=True)
+    vocab = [f"w{i}" for i in range(V)]
+
+    out = sage_labels(beta, vocab, n=5)
+    assert len(out["marginal"]) == K
+    assert len(out["by_aspect"]) == A and len(out["by_aspect"][1]) == K
+    # w0 tops every aspect-1 topic list
+    for k in range(K):
+        assert "w0" in out["by_aspect"][1][k]
+
+    # kappa aspect block: aspect-1 column loads on w0
+    Xd = build_kappa_design(K, A, True)
+    kappa = np.zeros((Xd.shape[1], V))
+    kappa[K + 1, 0] = 3.0  # aspect-1 indicator coefficient for w0
+    out2 = sage_labels(beta, vocab, kappa=kappa, kappa_design=Xd, n=3)
+    assert out2["kappa_aspect"][1][0] == "w0"
