@@ -402,7 +402,14 @@ def _poisson_newton_batch(Y, m, Xd, offset, alpha, n, iters, W0,
         done = done | (gnorm < tol) | ~improved
         return (W, F, it + 1, done)
 
-    done0 = jnp.zeros((Y.shape[1],), bool)
+    # pre-loop convergence check: words whose warm start already meets
+    # tol skip the whole body (one gradient eval is ~10x cheaper than a
+    # body iteration's Hessian build + Cholesky + line search); at
+    # steady state most words are already converged, so whole chunks
+    # exit the while_loop with zero iterations
+    Z0 = jnp.clip(base + Xd @ W0, -lp_clip, lp_clip)
+    G0 = Xd.T @ ((jnp.exp(Z0) - Y) / n) + alpha * W0
+    done0 = jnp.max(jnp.abs(G0), axis=0) < tol
     W, _, n_it, _ = jax.lax.while_loop(
         cond, body, (W0, obj(W0), jnp.zeros((), jnp.int32), done0)
     )
@@ -483,6 +490,21 @@ def update_beta_content(
     if kappa0 is None:
         kappa0 = jnp.zeros((P, V), dtype)
 
+    # difficulty-sort words by corpus frequency before chunking (the
+    # E-step's difficulty-sorted-chunking trick applied to words): each
+    # chunk's while_loop runs to ITS words' worst Newton count, and
+    # solve difficulty tracks word frequency, so grouping rare words
+    # together lets their chunks exit early instead of riding every
+    # chunk to the hardest word's count.  The permutation is a pure
+    # relabeling of independent solves — results are bitwise-identical
+    # per word.
+    order = jnp.argsort(wcounts[:V])
+    inv_order = jnp.argsort(order)
+    m_user = m  # unsorted: the final linpred indexes words in user order
+    counts = counts[:, order]
+    m = m[order]
+    kappa0 = kappa0[:, order]
+
     Vc = _kappa_vchunk(V, P)
     nc = -(-V // Vc)
     Vp = nc * Vc
@@ -508,9 +530,9 @@ def update_beta_content(
     kappa_iters, Wc = jax.lax.scan(
         chunk_fn, jnp.zeros((), jnp.int32), (Yc, mc, W0c)
     )
-    kappa = Wc.transpose(1, 0, 2).reshape(P, Vp)[:, :V]
+    kappa = Wc.transpose(1, 0, 2).reshape(P, Vp)[:, :V][:, inv_order]
 
-    linpred = m[None, :V] + Xd @ kappa  # ((A*K), V)
+    linpred = m_user[None, :V] + Xd @ kappa  # ((A*K), V)
     mx = jnp.max(linpred, axis=1, keepdims=True)
     if vocab_pmax is not None:
         mx = vocab_pmax(mx)
