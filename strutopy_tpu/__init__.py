@@ -24,7 +24,7 @@ Architecture (TPU-first, not a port):
 from strutopy_tpu.corpus.bow import PaddedCorpus, Vocabulary, pad_corpus
 from strutopy_tpu.models.config import STMConfig
 from strutopy_tpu.models.stm import STM
-from strutopy_tpu.models.serving import infer_from_artifacts
+from strutopy_tpu.models.serving import ThetaServer, infer_from_artifacts
 from strutopy_tpu.models.streaming import StreamedEM
 from strutopy_tpu.dgp.corpus_creation import CorpusCreation
 from strutopy_tpu.eval.heldout import eval_heldout, cut_in_half, split_corpus
@@ -37,6 +37,7 @@ __all__ = [
     "pad_corpus",
     "STMConfig",
     "STM",
+    "ThetaServer",
     "infer_from_artifacts",
     "StreamedEM",
     "CorpusCreation",

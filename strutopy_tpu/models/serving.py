@@ -97,13 +97,9 @@ def infer_theta(
     return np.asarray(theta)[idx], np.asarray(eta)[idx]
 
 
-def infer_from_artifacts(
-    model_dir: str,
-    documents,
-    X=None,
-    beta_index=None,
-):
-    """Load ``*_hat.npy`` artifacts + config and infer theta for new docs."""
+def _load_params(model_dir: str):
+    """Load ``*_hat.npy`` artifacts + config -> (beta, sigma, gamma,
+    eta_mean, cfg).  ``gamma``/``eta_mean`` may be None."""
     from strutopy_tpu.corpus.io import load_model_artifacts
     from strutopy_tpu.models.config import STMConfig
 
@@ -127,19 +123,14 @@ def infer_from_artifacts(
 
     beta = np.asarray(art["beta"], np.float32)
     sigma = np.asarray(art["sigma"], np.float32)
-    K = beta.shape[-2]
-    if isinstance(documents, (list, tuple)):
-        N_new = len(documents)
-    else:
-        N_new = documents.N
+    eta = art.get("eta")
+    eta_mean = None if eta is None else np.asarray(eta).mean(axis=0)
+    return beta, sigma, art.get("gamma"), eta_mean, cfg
 
-    if beta.ndim == 3 and beta_index is None:
-        raise ValueError(
-            "this is a content-covariate model (per-aspect beta); pass "
-            "beta_index for the new documents"
-        )
 
-    gamma = art.get("gamma")
+def _prior_means(gamma, eta_mean, cfg, K: int, N_new: int, X) -> np.ndarray:
+    """Per-document prior means mu (N_new, K-1) from the fitted prevalence
+    model (or its fallbacks), matching STM.transform's semantics."""
     if gamma is not None and X is not None:
         Xa = np.asarray(X, np.float64)
         if Xa.ndim == 1:
@@ -166,10 +157,92 @@ def infer_from_artifacts(
             "the model was fit with prevalence covariates (gamma_hat "
             "present); pass X for the new documents"
         )
-    elif "eta" in art:
-        mu_user = np.tile(np.asarray(art["eta"]).mean(axis=0), (N_new, 1))
+    elif eta_mean is not None:
+        mu_user = np.tile(eta_mean, (N_new, 1))
     else:
         mu_user = np.zeros((N_new, K - 1))
+    return mu_user.astype(np.float32)
 
-    return infer_theta(beta, sigma, mu_user.astype(np.float32), documents, cfg,
+
+def _n_docs(documents) -> int:
+    if isinstance(documents, (list, tuple)):
+        return len(documents)
+    return documents.N
+
+
+def infer_from_artifacts(
+    model_dir: str,
+    documents,
+    X=None,
+    beta_index=None,
+):
+    """Load ``*_hat.npy`` artifacts + config and infer theta for new docs."""
+    beta, sigma, gamma, eta_mean, cfg = _load_params(model_dir)
+    K = beta.shape[-2]
+    if beta.ndim == 3 and beta_index is None:
+        raise ValueError(
+            "this is a content-covariate model (per-aspect beta); pass "
+            "beta_index for the new documents"
+        )
+    mu_user = _prior_means(gamma, eta_mean, cfg, K, _n_docs(documents), X)
+    return infer_theta(beta, sigma, mu_user, documents, cfg,
                        aspects_user=beta_index)
+
+
+class ThetaServer:
+    """Persistent serving handle: load artifacts ONCE, keep beta/sigma
+    device-resident, and serve theta per request.
+
+    ``infer_from_artifacts`` re-reads the artifact directory and re-uploads
+    beta (K*V floats — 4 MB at K=100/V=10k) on every call; in the
+    steady-state serving regime that transfer dominates small-batch
+    latency.  ``ThetaServer`` pays the load + device transfer once::
+
+        srv = ThetaServer("artifacts/fit")
+        srv.warmup()                      # compile the serving shapes
+        theta, eta = srv.infer(docs, X=X)
+
+    The first request at a NEW (bucket length, batch) shape compiles;
+    ``warmup`` pre-compiles the shape a given request size maps to.
+    """
+
+    def __init__(self, model_dir: str):
+        import jax.numpy as jnp
+
+        beta, sigma, gamma, eta_mean, cfg = _load_params(model_dir)
+        self.cfg = cfg
+        self.K = beta.shape[-2]
+        self.V = beta.shape[-1]
+        self.content = beta.ndim == 3
+        self._gamma = gamma
+        self._eta_mean = eta_mean
+        # Device-resident parameters: uploaded once, reused every call
+        # (infer_theta's jnp.asarray is then a no-op).
+        self._beta = jnp.asarray(beta, jnp.float32)
+        self._sigma = jnp.asarray(sigma, jnp.float32)
+
+    def infer(self, documents, X=None, beta_index=None):
+        """(theta, eta) for new documents, in document order."""
+        if self.content and beta_index is None:
+            raise ValueError(
+                "this is a content-covariate model (per-aspect beta); pass "
+                "beta_index for the new documents"
+            )
+        mu_user = _prior_means(self._gamma, self._eta_mean, self.cfg, self.K,
+                               _n_docs(documents), X)
+        return infer_theta(self._beta, self._sigma, mu_user, documents,
+                           self.cfg, aspects_user=beta_index)
+
+    def warmup(self, n_docs: int = 1, doc_len: int = 64) -> None:
+        """Compile the serving path for the shape a ``n_docs``-request with
+        ``doc_len`` distinct terms maps to (no-op if already compiled)."""
+        rng = np.random.default_rng(0)
+        docs = [
+            [(int(w), 1) for w in rng.choice(self.V, size=min(doc_len, self.V),
+                                             replace=False)]
+            for _ in range(n_docs)
+        ]
+        P = None if self._gamma is None else self._gamma.shape[1]
+        X = None if P is None or P <= 1 else np.zeros((n_docs, P - 1))
+        aspects = np.zeros(n_docs, np.int32) if self.content else None
+        self.infer(docs, X=X, beta_index=aspects)

@@ -167,6 +167,73 @@ def test_infer_from_artifacts_roundtrip(tmp_path, toy_corpus, toy_dictionary, to
     np.testing.assert_allclose(theta_art, theta_live, atol=2e-3)
 
 
+def test_theta_server_matches_one_shot(tmp_path, toy_corpus, toy_dictionary,
+                                       toy_metadata):
+    """ThetaServer (device-resident params, load-once) returns the same
+    theta as the one-shot infer_from_artifacts path, and warmup runs."""
+    from strutopy_tpu.models.serving import ThetaServer, infer_from_artifacts
+
+    train = toy_corpus.train_docs
+    model = STM(
+        documents=train, dictionary=toy_dictionary, K=3,
+        X=toy_metadata[: len(train)], max_em_iter=3,
+        init_type="random", model_type="STM",
+    )
+    model.expectation_maximization(saving=True, output_dir=str(tmp_path))
+
+    test_docs = toy_corpus.test_docs
+    X_new = toy_metadata[len(train): len(train) + len(test_docs)]
+    theta_once, eta_once = infer_from_artifacts(str(tmp_path), test_docs,
+                                                X=X_new)
+    srv = ThetaServer(str(tmp_path))
+    srv.warmup(n_docs=1, doc_len=8)
+    theta_srv, eta_srv = srv.infer(test_docs, X=X_new)
+    np.testing.assert_array_equal(theta_srv, theta_once)
+    np.testing.assert_array_equal(eta_srv, eta_once)
+    # a second call reuses the resident params and stays deterministic
+    theta_again, _ = srv.infer(test_docs, X=X_new)
+    np.testing.assert_array_equal(theta_again, theta_srv)
+
+
+def test_infer_theta_preencoded_matches_list_docs(toy_corpus, toy_dictionary,
+                                                  toy_metadata):
+    """Passing a pre-encoded PaddedCorpus to infer_theta gives bit-identical
+    theta to the list-of-tuples path (the bulk-serving fast path measured in
+    benchmarks/serving_bench.py), and a vocab-id overflow raises instead of
+    silently clamping."""
+    import pytest
+
+    from strutopy_tpu.corpus.bow import pad_corpus
+    from strutopy_tpu.models.serving import infer_theta
+
+    train = toy_corpus.train_docs
+    model = STM(
+        documents=train, dictionary=toy_dictionary, K=3,
+        X=toy_metadata[: len(train)], max_em_iter=3,
+        init_type="random", model_type="STM",
+    )
+    model.expectation_maximization(saving=False)
+
+    test_docs = toy_corpus.test_docs
+    beta = model.beta.astype(np.float32)
+    sigma = model.sigma.astype(np.float32)
+    gamma = np.asarray(model.gamma, np.float64)
+    D = np.c_[np.ones(len(test_docs)),
+              np.asarray(toy_metadata[len(train): len(train) + len(test_docs)])]
+    mu = (D @ gamma.T).astype(np.float32)
+
+    theta_list, eta_list = infer_theta(beta, sigma, mu, test_docs, model.config)
+    pc = pad_corpus(test_docs, V=len(toy_dictionary))
+    theta_pc, eta_pc = infer_theta(beta, sigma, mu, pc, model.config)
+    np.testing.assert_array_equal(theta_pc, theta_list)
+    np.testing.assert_array_equal(eta_pc, eta_list)
+
+    bad_docs = [d for d in test_docs] + [[(len(toy_dictionary) + 5, 2)]]
+    mu_bad = np.concatenate([mu, mu[:1]], axis=0)
+    with pytest.raises(ValueError, match="word id"):
+        infer_theta(beta, sigma, mu_bad, bad_docs, model.config)
+
+
 def test_stm_rejects_covariate_length_mismatch(toy_corpus, toy_dictionary):
     """X shorter than the corpus must raise, not silently zero-fill
     covariates for the tail documents (ADVICE r1)."""
