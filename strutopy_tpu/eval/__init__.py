@@ -9,6 +9,12 @@ from strutopy_tpu.eval.diagnostics import (
 )
 from strutopy_tpu.eval.perplexity import perplexity
 from strutopy_tpu.eval.graph import topic_correlations, topic_graph
+from strutopy_tpu.eval.effects import (
+    estimate_effect,
+    estimate_effect_composition,
+    estimate_content_effect,
+    simulate_theta,
+)
 
 __all__ = [
     "eval_heldout",
@@ -24,4 +30,8 @@ __all__ = [
     "perplexity",
     "topic_correlations",
     "topic_graph",
+    "estimate_effect",
+    "estimate_effect_composition",
+    "estimate_content_effect",
+    "simulate_theta",
 ]

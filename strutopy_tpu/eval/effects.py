@@ -27,14 +27,28 @@ def estimate_effect(
     ``ci`` ((K_sel, P, 2), 95% normal approx).
     """
     theta = np.asarray(theta, np.float64)
+    D, topics = _build_design(D, len(theta), add_intercept), (
+        list(range(theta.shape[1])) if topics is None else list(topics)
+    )
+    coef, se = _ols_fit(theta, D, topics)
+    ci = np.stack([coef - 1.96 * se, coef + 1.96 * se], axis=-1)
+    return {"coef": coef, "se": se, "ci": ci, "topics": topics}
+
+
+def _build_design(D, N: int, add_intercept: bool) -> np.ndarray:
     D = np.asarray(D, np.float64)
     if D.ndim == 1:
         D = D[:, None]
+    if len(D) != N:
+        raise ValueError(f"design has {len(D)} rows for {N} documents")
     if add_intercept:
         D = np.c_[np.ones(len(D)), D]
-    N, P = D.shape
-    topics = range(theta.shape[1]) if topics is None else topics
+    return D
 
+
+def _ols_fit(theta, D, topics):
+    """Per-topic OLS coef (K_sel, P) and normal-approx se (K_sel, P)."""
+    N, P = D.shape
     DtD_inv = np.linalg.pinv(D.T @ D)
     H = DtD_inv @ D.T
     coefs, ses = [], []
@@ -47,10 +61,7 @@ def estimate_effect(
         se = np.sqrt(np.maximum(np.diagonal(DtD_inv) * s2, 0.0))
         coefs.append(b)
         ses.append(se)
-    coef = np.asarray(coefs)
-    se = np.asarray(ses)
-    ci = np.stack([coef - 1.96 * se, coef + 1.96 * se], axis=-1)
-    return {"coef": coef, "se": se, "ci": ci, "topics": list(topics)}
+    return np.asarray(coefs), np.asarray(ses)
 
 
 def plot_effect(
@@ -82,6 +93,148 @@ def plot_effect(
     if path:
         fig.savefig(path, bbox_inches="tight")
     return fig
+
+
+def simulate_theta(
+    model,
+    n_draws: int = 25,
+    seed: int = 0,
+    chunk: int = 512,
+    return_eta: bool = False,
+) -> np.ndarray:
+    """Draw theta from each document's variational (Laplace) posterior.
+
+    The E-step's per-document posterior is N(eta_d, nu_d) with
+    nu_d = H_d^{-1} the inverse Hessian at the converged eta (reference
+    stm.py:1052-1066 computes the same nu).  The fit keeps only
+    sum_d nu_d (it is all the M-step needs), so this recomputes H_d from
+    the fitted model in chunks with the E-step's own ``_f_g_H_batched``,
+    draws  eta_d + L_d^{-T} z  (cov = (L L^T)^{-1} = nu_d), and maps each
+    draw through the softmax.
+
+    Returns ``(n_draws, N, K)`` theta samples in document order — the
+    input to method-of-composition effect estimation
+    (:func:`estimate_effect_composition`).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from strutopy_tpu.ops.estep import (
+        _chol_pd_batched,
+        _f_g_H_batched,
+        _pad_eta,
+    )
+
+    if getattr(model, "_stream_parts", 0) > 1:
+        raise NotImplementedError(
+            "simulate_theta needs the full per-document eta; streamed fits "
+            "(stream_parts>1) keep only one part's state at a time"
+        )
+    beta = np.asarray(model.beta, np.float32)
+    eta = np.asarray(model.eta, np.float32)
+    mu = np.asarray(model.mu, np.float32)
+    corpus = model._corpus
+    aspects = np.asarray(model.betaindex, np.int32)
+    siginv = np.linalg.inv(np.asarray(model.sigma, np.float64)).astype(
+        np.float32
+    )
+    N, K = corpus.N, beta.shape[-2]
+    beta_full = jnp.asarray(beta if beta.ndim == 3 else beta[None])
+
+    @jax.jit
+    def draw_chunk(words, counts, eta_c, mu_c, asp_c, z):
+        beta_doc = jax.vmap(lambda a, w: beta_full[a][:, w])(asp_c, words)
+        Nd = jnp.sum(counts, axis=1)
+        _f, _g, H, _t, _p = _f_g_H_batched(
+            eta_c, beta_doc, counts, mu_c, jnp.asarray(siginv), Nd, bf16=False
+        )
+        L = _chol_pd_batched(H)
+        # x = L^{-T} z  =>  cov(x) = L^{-T} L^{-1} = (L L^T)^{-1} = nu;
+        # one batched solve with the S draws as right-hand-side columns
+        x = jax.scipy.linalg.solve_triangular(
+            L, jnp.transpose(z, (1, 2, 0)), lower=True, trans="T"
+        )  # (B, K-1, S)
+        draws = eta_c[None] + jnp.transpose(x, (2, 0, 1))  # (S, B, K-1)
+        if return_eta:
+            return draws
+        S, B = draws.shape[:2]
+        return jax.nn.softmax(
+            _pad_eta(draws.reshape(S * B, K - 1)), axis=-1
+        ).reshape(S, B, K)
+
+    rng = np.random.default_rng(seed)
+    out = np.empty((n_draws, N, K - 1 if return_eta else K), np.float32)
+    for lo in range(0, N, chunk):
+        hi = min(lo + chunk, N)
+        B = hi - lo
+        pad = chunk - B  # keep one compiled shape for every chunk
+        sl = slice(lo, hi)
+        words = np.pad(corpus.words[sl], ((0, pad), (0, 0)))
+        counts = np.pad(corpus.counts[sl], ((0, pad), (0, 0)))
+        z = rng.standard_normal((n_draws, chunk, K - 1)).astype(np.float32)
+        theta_s = draw_chunk(
+            jnp.asarray(words), jnp.asarray(counts),
+            jnp.asarray(np.pad(eta[sl], ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(mu[sl], ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(aspects[sl], (0, pad))),
+            jnp.asarray(z),
+        )
+        out[:, sl] = np.asarray(theta_s)[:, :B]
+    return out
+
+
+def estimate_effect_composition(
+    model,
+    D=None,
+    topics: Optional[Sequence[int]] = None,
+    add_intercept: bool = True,
+    n_draws: int = 25,
+    seed: int = 0,
+    chunk: int = 512,
+):
+    """Method-of-composition effect estimation (R-stm ``estimateEffect``
+    with ``uncertainty="Global"``).
+
+    Plain :func:`estimate_effect` treats the point estimate theta_hat as
+    data, so its CIs carry only regression sampling noise and understate
+    the uncertainty of inferred proportions.  This draws ``n_draws``
+    theta samples from each document's variational posterior
+    (:func:`simulate_theta`), fits the per-topic OLS on every draw, and
+    combines with Rubin's rules:
+
+        coef = mean_s b_s
+        var  = mean_s se_s^2  +  (1 + 1/S) * var_s(b_s)
+
+    ``D`` defaults to the model's own prevalence covariates (model.X).
+    Returns the :func:`estimate_effect` dict plus ``within``/``between``
+    variance components and ``n_draws``.
+    """
+    if D is None:
+        if model.X is None:
+            raise ValueError(
+                "the model was fit without covariates; pass D explicitly"
+            )
+        D = model.X
+    thetas = simulate_theta(model, n_draws=n_draws, seed=seed, chunk=chunk)
+    D = _build_design(D, thetas.shape[1], add_intercept)
+    K = thetas.shape[2]
+    topics = list(range(K)) if topics is None else list(topics)
+
+    coefs, variances = [], []
+    for s in range(n_draws):
+        b, se = _ols_fit(np.asarray(thetas[s], np.float64), D, topics)
+        coefs.append(b)
+        variances.append(se**2)
+    bs = np.stack(coefs)  # (S, K_sel, P)
+    within = np.mean(np.stack(variances), axis=0)
+    between = np.var(bs, axis=0, ddof=1) if n_draws > 1 else np.zeros_like(within)
+    coef = bs.mean(axis=0)
+    se = np.sqrt(within + (1.0 + 1.0 / n_draws) * between)
+    ci = np.stack([coef - 1.96 * se, coef + 1.96 * se], axis=-1)
+    return {
+        "coef": coef, "se": se, "ci": ci, "topics": topics,
+        "within": within, "between": between, "n_draws": n_draws,
+    }
 
 
 def estimate_content_effect(
