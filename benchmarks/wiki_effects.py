@@ -107,6 +107,13 @@ def main():
     print(json.dumps(result, indent=2))
 
     try:
+        from strutopy_tpu.eval.diagnostics import plot_topic_quality
+
+        plot_topic_quality(
+            np.asarray(model.beta), model._corpus, theta=theta,
+            path=os.path.join(os.path.dirname(OUT),
+                              "wiki_topic_quality.png"),
+        )
         sel = [int(k) for k in order[:10]]
         sub = {"coef": comp["coef"][sel], "ci": comp["ci"][sel],
                "topics": sel}

@@ -6,6 +6,8 @@ from strutopy_tpu.eval.diagnostics import (
     find_thoughts,
     exclusivity,
     semantic_coherence,
+    topic_quality,
+    plot_topic_quality,
 )
 from strutopy_tpu.eval.perplexity import perplexity
 from strutopy_tpu.eval.graph import topic_correlations, topic_graph
@@ -27,6 +29,8 @@ __all__ = [
     "find_thoughts",
     "exclusivity",
     "semantic_coherence",
+    "topic_quality",
+    "plot_topic_quality",
     "perplexity",
     "topic_correlations",
     "topic_graph",

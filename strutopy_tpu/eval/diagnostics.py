@@ -220,3 +220,54 @@ def sage_labels(
             asp_cols = kappa[K : K + A]  # (A, V)
             out["kappa_aspect"] = [top(asp_cols[a]) for a in range(A)]
     return out
+
+
+def topic_quality(beta: np.ndarray, documents, M: int = 10,
+                  w: float = 0.7) -> dict:
+    """Per-topic (semantic_coherence, exclusivity) pair — the two axes
+    of R-stm's ``topicQuality`` plot.  Neither metric exists in the
+    python reference (its README.md:36-38 promises them); both follow
+    the R-stm definitions implemented above.
+
+    ``beta`` may be (K, V) or a content model's (A, K, V) (aspects are
+    marginalized for scoring, as in :func:`label_topics`).
+    """
+    beta = np.asarray(beta, np.float64)
+    if beta.ndim == 3:
+        beta = beta.mean(axis=0)
+    return {
+        "semantic_coherence": semantic_coherence(beta, documents, M=M),
+        "exclusivity": exclusivity(beta, M=M, w=w),
+    }
+
+
+def plot_topic_quality(beta: np.ndarray, documents, M: int = 10,
+                       w: float = 0.7, path: Optional[str] = None,
+                       theta: Optional[np.ndarray] = None):
+    """R-stm ``topicQuality``: scatter of semantic coherence (x) vs
+    exclusivity (y), each topic drawn as its index.  With ``theta``,
+    marker size scales with the topic's expected corpus proportion.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    q = topic_quality(beta, documents, M=M, w=w)
+    x, y = q["semantic_coherence"], q["exclusivity"]
+    size = None
+    if theta is not None:
+        props = np.asarray(theta, np.float64).mean(axis=0)
+        size = 2000.0 * props / props.max()
+    fig, ax = plt.subplots(figsize=(6, 5))
+    ax.scatter(x, y, s=size if size is not None else 40,
+               alpha=0.25, color="tab:blue")
+    for k in range(len(x)):
+        ax.annotate(str(k), (x[k], y[k]), ha="center", va="center",
+                    fontsize=8)
+    ax.set_xlabel(f"semantic coherence (top {M} words)")
+    ax.set_ylabel(f"exclusivity (FREX w={w})")
+    ax.set_title("Topic quality")
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+    return fig

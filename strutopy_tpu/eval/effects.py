@@ -125,11 +125,11 @@ def simulate_theta(
         _pad_eta,
     )
 
-    if getattr(model, "_stream_parts", 0) > 1:
-        raise NotImplementedError(
-            "simulate_theta needs the full per-document eta; streamed fits "
-            "(stream_parts>1) keep only one part's state at a time"
-        )
+    # Streamed fits (stream_parts>1) also work: the out-of-core driver
+    # keeps the corpus host-resident in parts, but the STM-level state
+    # re-concatenates every part's eta/mu/theta (models/stm.py streamed
+    # step), so the full per-document posterior parameters are available
+    # here just like an in-memory fit.
     beta = np.asarray(model.beta, np.float32)
     eta = np.asarray(model.eta, np.float32)
     mu = np.asarray(model.mu, np.float32)

@@ -669,3 +669,8 @@ class STM:
         if beta.ndim == 3:
             beta = beta.mean(axis=0)
         return diagnostics.semantic_coherence(beta, self._corpus, M=M)
+
+    def topic_quality(self, M: int = 10, w: float = 0.7) -> dict:
+        """Per-topic coherence/exclusivity pair (R-stm ``topicQuality``
+        axes); plot with :func:`eval.diagnostics.plot_topic_quality`."""
+        return diagnostics.topic_quality(self.beta, self._corpus, M=M, w=w)

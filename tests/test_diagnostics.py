@@ -109,3 +109,34 @@ def test_sage_labels_per_aspect():
     kappa[K + 1, 0] = 3.0  # aspect-1 indicator coefficient for w0
     out2 = sage_labels(beta, vocab, kappa=kappa, kappa_design=Xd, n=3)
     assert out2["kappa_aspect"][1][0] == "w0"
+
+
+def test_topic_quality_combines_both_metrics(tmp_path):
+    docs = [[(0, 1), (1, 1)]] * 10 + [[(2, 1)], [(3, 1)]] * 5
+    beta = np.array(
+        [
+            [0.45, 0.45, 0.05, 0.05],
+            [0.05, 0.05, 0.45, 0.45],
+        ]
+    )
+    q = diagnostics.topic_quality(beta, docs, M=2)
+    np.testing.assert_array_equal(
+        q["semantic_coherence"], diagnostics.semantic_coherence(beta, docs, M=2)
+    )
+    np.testing.assert_array_equal(
+        q["exclusivity"], diagnostics.exclusivity(beta, M=2, w=0.7)
+    )
+    # content-model (A, K, V) beta marginalizes aspects
+    q3 = diagnostics.topic_quality(np.stack([beta, beta]), docs, M=2)
+    np.testing.assert_allclose(
+        q3["semantic_coherence"], q["semantic_coherence"]
+    )
+    # plot renders and saves
+    out = tmp_path / "tq.png"
+    theta = np.full((4, 2), 0.5)
+    fig = diagnostics.plot_topic_quality(beta, docs, M=2, path=str(out),
+                                         theta=theta)
+    assert out.exists() and out.stat().st_size > 0
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)

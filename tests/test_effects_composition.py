@@ -123,3 +123,26 @@ def test_simulate_theta_content_model(toy_corpus, toy_dictionary,
     assert thetas.shape == (3, len(train), 3)
     assert np.all(np.isfinite(thetas))
     np.testing.assert_allclose(thetas.sum(axis=-1), 1.0, atol=1e-5)
+
+
+def test_composition_on_streamed_fit(toy_corpus, toy_dictionary,
+                                     toy_metadata):
+    """A streamed (stream_parts>1) fit exposes the same full eta/mu
+    state as an in-memory fit (models/stm.py re-concatenates part
+    states), so composition effects must work and agree."""
+    train = toy_corpus.train_docs
+    kwargs = dict(
+        documents=train, dictionary=toy_dictionary, K=3,
+        X=toy_metadata[: len(train)], max_em_iter=3,
+        init_type="random", model_type="STM", seed=11,
+    )
+    m1 = STM(**kwargs)
+    m1.expectation_maximization(saving=False)
+    ms = STM(**kwargs, stream_parts=2)
+    ms.expectation_maximization(saving=False)
+
+    c1 = estimate_effect_composition(m1, n_draws=5, seed=0, chunk=16)
+    cs = estimate_effect_composition(ms, n_draws=5, seed=0, chunk=16)
+    # same draws seed + float32-identical fits: coefs agree tightly
+    np.testing.assert_allclose(cs["coef"], c1["coef"], atol=5e-3)
+    np.testing.assert_allclose(cs["se"], c1["se"], atol=5e-3)
