@@ -51,12 +51,22 @@ def main():
 
     results = {"config": {"K": K, "V": V, "A": A, "P": int(P)}}
     orig = mstep._kappa_vchunk
-    for budget_m in (32, 96, 256):
-        mstep._kappa_vchunk = (
-            lambda V_, P_, b=budget_m: orig(V_, P_, budget_floats=b * 1_000_000)
-        )
+    # sweep explicit words-per-chunk values (the default helper maps the
+    # 32M-float budget to 256 at this P; smaller chunks let rare-word
+    # chunks exit the while_loop even earlier under the sorted layout,
+    # larger ones amortize scan overhead — measure, don't guess)
+    for vchunk in (64, 128, 256, 1024, 2048):
+        mstep._kappa_vchunk = lambda V_, P_, c=vchunk: min(V_, c)
         vc = mstep._kappa_vchunk(V, P)
         update = mstep.update_beta_content
+        # update_beta_content is jitted and reads _kappa_vchunk at TRACE
+        # time; with identical arg shapes the second and third budgets
+        # would silently reuse the first budget's compiled kernel and
+        # measure nothing (the original version of this script did
+        # exactly that).  Drop the trace cache so every budget re-traces
+        # with ITS chunking; the on-disk executable cache still keys on
+        # the (now different) HLO, so recompiles stay cheap on reruns.
+        jax.clear_caches()
 
         (beta_c, kappa_c), t_cold = timed(
             lambda: update(beta_ss, wcounts, jnp.asarray(Xd, jnp.float32))
@@ -65,13 +75,13 @@ def main():
             lambda: update(beta_ss, wcounts, jnp.asarray(Xd, jnp.float32),
                            kappa0=kappa_c)
         )
-        results[f"budget_{budget_m}M"] = {
+        results[f"vchunk_{vchunk}"] = {
             "vchunk": int(vc),
             "cold_seconds": round(t_cold, 3),
             "warm_seconds": round(t_warm, 3),
             "kappa_agree": float(np.abs(np.asarray(kappa_w - kappa_c)).max()),
         }
-        print(f"budget {budget_m}M (vchunk {vc}): cold {t_cold:.3f}s "
+        print(f"vchunk {vc}: cold {t_cold:.3f}s "
               f"warm {t_warm:.3f}s", flush=True)
     mstep._kappa_vchunk = orig
 

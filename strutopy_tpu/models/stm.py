@@ -447,6 +447,10 @@ class STM:
                     from strutopy_tpu.utils.debug import validate_state
 
                     validate_state(self._state, it)
+                if cfg.newton_pass1_iters:
+                    # unconditional (bound is already host-synced above;
+                    # this read is free): silent under-convergence is
+                    # exactly what this diagnostic exists to surface
                     ov = int(np.asarray(self._state.straggler_overflow))
                     if ov > 0:
                         logger.warning(

@@ -92,8 +92,15 @@ class StreamedEM:
             self.n_parts = n_parts
         else:
             parts = list(parts)
+            if n_parts is not None and n_parts != len(parts):
+                # a mismatch would silently drop tail parts from every
+                # EM iteration (or IndexError mid-iteration if larger)
+                raise ValueError(
+                    f"n_parts={n_parts} does not match the {len(parts)} "
+                    "parts provided; omit n_parts for sequence providers"
+                )
             self._provider = lambda p: parts[p]
-            self.n_parts = n_parts if n_parts is not None else len(parts)
+            self.n_parts = len(parts)
 
         self.prefetch = prefetch
         if mesh is None:
@@ -158,8 +165,14 @@ class StreamedEM:
         part's E-step. Device-resident parts pass through untouched.
         Under a mesh, every field lands document-sharded."""
         if self.mesh is not None:
+            # device_put the HOST array with the sharding directly: only
+            # each device's slice is transferred.  jnp.asarray first
+            # would stage the whole part on the default device — a
+            # full-part memory spike (and a >1 GB single transfer at
+            # 1M-doc scale, the tunnel-crash regime this driver exists
+            # to avoid).
             w, c, a, ok, D = (
-                jax.device_put(jnp.asarray(x), self._doc_sharding)
+                jax.device_put(x, self._doc_sharding)
                 for x in self._provider(p)
             )
         else:

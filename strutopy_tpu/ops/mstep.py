@@ -429,10 +429,20 @@ def _poisson_newton_word(y, m_v, Xd, offset, alpha, n, iters,
     return W[:, 0]
 
 
-def _kappa_vchunk(V: int, P: int, budget_floats: int = 32_000_000) -> int:
-    """Words per scan chunk: bounds the (Vc, P, P) Hessian workspace to
-    ~128 MB while keeping chunks MXU-sized."""
-    c = max(256, budget_floats // max(P * P, 1))
+def _kappa_vchunk(V: int, P: int, budget_floats: int = 16_000_000) -> int:
+    """Words per scan chunk.  Two constraints, both measured at the
+    P=302 stress shape (benchmarks/results_kappa_ab.json, v5e):
+
+    * the (Vc, P, P) Hessian workspace must stay VMEM/HBM-friendly;
+    * SMALLER chunks win outright under the frequency-sorted layout
+      (each chunk's while_loop exits at its own worst word): 128 beats
+      256 by ~31% warm and ~36% cold, while 1024/2048 are ~2x slower.
+      64 collapses warm (+187%) — scan overhead takes over.
+
+    The 16M-float budget maps P=302 to the measured winner (128) and
+    leaves small-P configs (which bind on min(V, .) anyway) unchanged.
+    """
+    c = max(128, budget_floats // max(P * P, 1))
     c = 1 << (c.bit_length() - 1)  # round down to a power of two
     return min(V, c)
 

@@ -117,9 +117,14 @@ def _gram_scan_sharded(mesh, words_f, counts_f, B: int, Vp: int):
         check_vma=False,
     ))
     sh = NamedSharding(mesh, doc)
+    # device_put the host arrays with the sharding directly so each
+    # device receives only its slice; jnp.asarray first would stage the
+    # full (N, L) corpus on the default device (~1 GB at N=1M, L=256 —
+    # the single-transfer regime that crashes tunneled workers, and a
+    # per-chip memory spike equal to the unsharded problem).
     Q, hhat = sharded(
-        jax.device_put(jnp.asarray(words_f), sh),
-        jax.device_put(jnp.asarray(counts_f), sh),
+        jax.device_put(words_f, sh),
+        jax.device_put(counts_f, sh),
     )
     return jax.jit(_gram_finish)(Q, hhat)
 
@@ -245,8 +250,10 @@ def spectral_init(
     N = words_f.shape[0]
     B = min(1024, N)
     if mesh is not None:
+        # honor the dtype parameter (the non-mesh branch casts inside
+        # jnp.asarray); counts_f is float32 host-side by construction
         Q, row_sums = _gram_scan_sharded(
-            mesh, words_f, counts_f.astype(np.float32), B, Vp
+            mesh, words_f, counts_f.astype(dtype), B, Vp
         )
     else:
         n_chunks = -(-N // B)

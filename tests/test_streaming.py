@@ -299,3 +299,24 @@ def test_prefetch_matches_no_prefetch():
     np.testing.assert_array_equal(sig0, sig1)
     for e0, e1 in zip(etas0, etas1):
         np.testing.assert_array_equal(e0, e1)
+
+
+def test_streamed_n_parts_mismatch_raises():
+    """An explicit n_parts that disagrees with a sequence provider's
+    length would silently drop tail parts from every EM iteration —
+    it must be rejected up front."""
+    N, K, V = 32, 3, 60
+    words, counts, aspects, doc_ok, X = _corpus(N=N, K=K, V=V)
+    cfg = STMConfig(K=K, model_type="STM", init_type="random", batch_size=16)
+    D_np, design = mstep.make_prevalence_design(X, doc_ok)
+    n = N // 2
+    parts = [
+        (words[i * n:(i + 1) * n], counts[i * n:(i + 1) * n],
+         aspects[i * n:(i + 1) * n], doc_ok[i * n:(i + 1) * n],
+         D_np[i * n:(i + 1) * n].astype(np.float32))
+        for i in range(2)
+    ]
+    with pytest.raises(ValueError, match="does not match"):
+        StreamedEM(cfg, design, parts, n_parts=1)
+    # matching n_parts (or omitted) is fine
+    assert StreamedEM(cfg, design, parts, n_parts=2).n_parts == 2
