@@ -539,7 +539,7 @@ def _doc_estep(beta_doc, counts, mu, eta0, doc_w, siginv, sigmaentropy, cfg: New
     Nd = jnp.sum(c, axis=1)
     theta, nu, bound, phi = _finalize_chunk(
         eta, bd, c, mu[None], jnp.asarray([doc_w], eta.dtype), siginv,
-        sigmaentropy, Nd,
+        sigmaentropy, Nd, nu_method=cfg.nu_method, chol_block=cfg.chol_block,
     )
     return eta[0], theta[0], nu[0], bound[0], phi[0], n_iters[0]
 
@@ -674,7 +674,15 @@ def _two_pass_estep(
     # ----- pass 2: densely packed stragglers, remaining budget -----
     rest = cfg.max_iters - cfg1.max_iters
     M = min(max(-(-int(straggler_frac * N) // B) * B, B), N)
-    overflow = jnp.sum((~done) & doc_ok).astype(jnp.int32)
+    # rest == 0 (pass1_iters >= max_iters, direct callers only) means
+    # the trajectory is exactly the single-pass one: docs that hit
+    # max_iters are NOT budget overflow — the single-pass path reports
+    # 0 for the identical computation, and raising straggler_frac
+    # could not help since no pass-2 budget exists
+    overflow = (
+        jnp.sum((~done) & doc_ok).astype(jnp.int32)
+        if rest > 0 else jnp.int32(0)
+    )
     if rest > 0 and M > 0:
         cfg2 = cfg._replace(max_iters=rest)
         # ascending sort: unconverged (False=0) docs pack to the front
@@ -752,7 +760,10 @@ def run_estep(
     cfg: NewtonConfig = NewtonConfig(),
     batch_size: int = 1024,
     use_pallas: bool = False,
-    pallas_block: int = 16,
+    # None -> cfg.pallas_block, so STMConfig.pallas_block reaches the
+    # whole-loop kernel through local_estep_stats (which builds cfg but
+    # does not pass this parameter); an explicit int still overrides
+    pallas_block: int | None = None,
     vocab_axis=None,
     pass1_iters: int = 0,
     straggler_frac: float = 0.3,
@@ -819,7 +830,8 @@ def run_estep(
 
             # block must divide the chunk size (bucket batches are
             # rounded to multiples of 8, not necessarily of the block)
-            pb = min(pallas_block, B)
+            pb = min(pallas_block if pallas_block is not None
+                     else cfg.pallas_block, B)
             while B % pb:
                 pb //= 2
             eta, iters = pallas_newton_impl(

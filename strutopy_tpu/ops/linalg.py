@@ -54,21 +54,6 @@ def chol_pd(H: jax.Array, jitter: float = 1e-5) -> jax.Array:
     return L
 
 
-def chol_fast_pd(H: jax.Array, jitter: float = 1e-5) -> jax.Array:
-    """2-rung variant for the Newton inner loop (path, not fixed point).
-
-    The exact repair ladder only matters where it defines model
-    quantities (nu, the bound's log-det) — i.e. at the converged eta.
-    Inside the Newton iteration any PD fix merely changes the search
-    path, so one fallback rung suffices and saves a Cholesky.
-    """
-    L1 = jnp.linalg.cholesky(H)
-    ok1 = jnp.all(jnp.isfinite(L1))
-    eye = jnp.eye(H.shape[-1], dtype=H.dtype)
-    L2 = jnp.linalg.cholesky(make_pd(H) + jitter * eye)
-    return jnp.where(ok1, L1, L2)
-
-
 def cho_inverse(L: jax.Array) -> jax.Array:
     """Inverse from a lower Cholesky factor: ``(L L^T)^{-1} = L^{-T} L^{-1}``.
 
