@@ -55,7 +55,10 @@ void* stm_mm_open(const char* path) {
   } while (line[0] == '%');
 
   long long n_docs = 0, n_terms = 0, nnz = 0;
-  if (std::sscanf(line, "%lld %lld %lld", &n_docs, &n_terms, &nnz) != 3) {
+  if (std::sscanf(line, "%lld %lld %lld", &n_docs, &n_terms, &nnz) != 3 ||
+      n_docs < 0 || n_terms < 0 || nnz < 0) {
+    // negative sizes would wrap to huge size_t in assign/reserve below
+    // and the bad_alloc would escape the C ABI (std::terminate)
     c->error = "bad size line";
     std::fclose(f);
     return c;
@@ -70,8 +73,14 @@ void* stm_mm_open(const char* path) {
   long long i, j;
   double v;
   while (std::fgets(line, sizeof line, f)) {
-    if (line[0] == '\n' || line[0] == '\0') continue;
-    if (std::sscanf(line, "%lld %lld %lf", &i, &j, &v) != 3) continue;
+    if (line[0] == '\n' || line[0] == '\r' || line[0] == '\0') continue;
+    if (std::sscanf(line, "%lld %lld %lf", &i, &j, &v) != 3) {
+      // match the python reader: a malformed line is an error, not a
+      // silently dropped entry
+      c->error = "unparseable data line: " + std::string(line).substr(0, 80);
+      std::fclose(f);
+      return c;
+    }
     // File-supplied indices are untrusted: an out-of-range doc id would
     // scatter out of bounds below (heap corruption), and a term id
     // >= n_terms would propagate word ids >= V into the fit path where
@@ -88,6 +97,14 @@ void* stm_mm_open(const char* path) {
     c->counts.push_back(static_cast<float>(v));
   }
   std::fclose(f);
+  if (static_cast<long long>(di.size()) != nnz) {
+    // truncation at a line boundary passes every per-entry check; the
+    // declared count is the only witness (python read_mm agrees)
+    c->error = "header declares " + std::to_string(nnz) +
+               " entries but the file contains " +
+               std::to_string(di.size());
+    return c;
+  }
 
   // entries may be unsorted by document: counting sort into offsets
   c->doc_offsets.assign(n_docs + 1, 0);
@@ -148,15 +165,18 @@ void stm_corpus_free(void* h) { delete static_cast<Corpus*>(h); }
 
 // Pack a ragged COO corpus (doc_idx sorted or not) into padded arrays
 // directly from caller buffers — the fast path for in-memory BoW.
-// Returns max doc len, or -1 on error.
+// Returns max doc len, -1 on a bad doc index, or -2 on a bad word id
+// (>= n_terms or negative: XLA's clamped gather would silently corrupt
+// the fit downstream, same invariant as stm_mm_open above).
 int64_t stm_pack_coo(const int64_t* doc_idx, const int32_t* word_idx,
                      const float* count, int64_t nnz, int64_t n_docs,
-                     int64_t L, int32_t* words_out, float* counts_out,
-                     uint8_t* doc_ok_out) {
+                     int64_t n_terms, int64_t L, int32_t* words_out,
+                     float* counts_out, uint8_t* doc_ok_out) {
   std::vector<int64_t> lens(n_docs, 0);
   for (int64_t k = 0; k < nnz; ++k) {
     int64_t d = doc_idx[k];
     if (d < 0 || d >= n_docs) return -1;
+    if (word_idx[k] < 0 || word_idx[k] >= n_terms) return -2;
     lens[d]++;
   }
   int64_t maxlen = 0;

@@ -26,6 +26,15 @@ def _load_corpus(path):
     if path.endswith(".json"):
         with open(path) as f:
             return json.load(f)
+    if path.endswith(".mm"):
+        # honor the header's declared term count (a dictionary's highest
+        # ids may never occur in any document) — same V the native
+        # reader uses, so both ingest paths agree on shapes
+        from strutopy_tpu.corpus.bow import pad_corpus
+        from strutopy_tpu.corpus.io import read_mm
+
+        bow, V = read_mm(path, return_V=True)
+        return pad_corpus(bow, V=V)
     raise ValueError(f"unsupported corpus format: {path}")
 
 

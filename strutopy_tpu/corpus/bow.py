@@ -144,6 +144,15 @@ def pad_corpus(
 
     if V is None:
         V = max_id + 1
+    elif max_id >= V:
+        # out-of-vocabulary ids must error here: on device the beta
+        # gather CLAMPS word ids to V-1, which would silently corrupt
+        # beta_ss and the bound (e.g. a stale dictionary shorter than
+        # the corpus's id range)
+        raise ValueError(
+            f"corpus contains word id {max_id} but V={V}; the "
+            "dictionary does not cover the corpus"
+        )
     L = _round_up(max(max_len, min_terms), lane)
 
     words = np.zeros((N, L), np.int32)

@@ -22,9 +22,8 @@ from typing import List, Tuple
 
 import numpy as np
 
-from strutopy_tpu.corpus.bow import PaddedCorpus, _round_up
+from strutopy_tpu.corpus.bow import LANE, PaddedCorpus, _round_up
 
-LANE = 128
 
 
 def plan_bounds(

@@ -13,21 +13,23 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Optional
-
 import numpy as np
 
 from strutopy_tpu.corpus.bow import PaddedCorpus
 
 
-def read_mm(path: str) -> list:
+def read_mm(path: str, return_V: bool = False):
     """Read a Matrix Market coordinate file as a BoW corpus.
 
-    Returns the reference's list-of-(idx, count) document format.
+    Returns the reference's list-of-(idx, count) document format
+    (``return_V=True`` additionally returns the header's declared term
+    count, so callers can honor a dictionary whose highest ids never
+    occur in any document instead of inferring V = max id + 1).
     1-based indices per the MM convention (gensim writes docs as rows).
     """
     docs: dict = {}
     n_docs = 0
+    n_entries = 0
     with open(path) as f:
         header = f.readline()
         if not header.startswith("%%MatrixMarket"):
@@ -35,7 +37,12 @@ def read_mm(path: str) -> list:
         line = f.readline()
         while line.startswith("%"):
             line = f.readline()
-        n_docs, n_terms, _nnz = (int(x) for x in line.split())
+        n_docs, n_terms, nnz = (int(x) for x in line.split())
+        if n_docs < 0 or n_terms < 0 or nnz < 0:
+            raise ValueError(
+                f"{path}: negative size header {n_docs} x {n_terms}, "
+                f"nnz {nnz}"
+            )
         for lineno, line in enumerate(f, start=3):
             if not line.strip():
                 continue
@@ -50,12 +57,22 @@ def read_mm(path: str) -> list:
                     f"declared {n_docs} x {n_terms} matrix"
                 )
             val = float(v)
+            n_entries += 1
             # keep integral counts as ints (BoW convention) but do not
             # truncate genuine fractional weights
             docs.setdefault(d, []).append(
                 (t, int(val) if val.is_integer() else val)
             )
-    return [sorted(docs.get(d, [])) for d in range(n_docs)]
+    if n_entries != nnz:
+        # whole trailing lines lost (truncation at a line boundary)
+        # pass every per-entry check — the declared count is the only
+        # witness
+        raise ValueError(
+            f"{path}: header declares {nnz} entries but the file "
+            f"contains {n_entries} (truncated or corrupt)"
+        )
+    bow = [sorted(docs.get(d, [])) for d in range(n_docs)]
+    return (bow, n_terms) if return_V else bow
 
 
 def write_mm(path: str, corpus) -> None:

@@ -15,6 +15,8 @@ from typing import Optional
 
 import numpy as np
 
+from strutopy_tpu.corpus.bow import _round_up
+
 logger = logging.getLogger(__name__)
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
@@ -84,7 +86,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.stm_pack_coo.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
     ]
     # BoW builder (native/bow.cpp)
@@ -116,10 +118,6 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def read_mm_padded(path: str, lane: int = 128):
@@ -180,11 +178,13 @@ def pack_coo_padded(doc_idx, word_idx, count, n_docs: int, V: int, lane: int = 1
             doc_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             word_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             count.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            nnz, n_docs, L,
+            nnz, n_docs, V, L,
             words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             counts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             doc_ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
+        if rc == -2:
+            raise ValueError(f"COO word ids outside [0, V={V})")
         if rc < 0:
             raise ValueError("bad doc indices in COO input")
         if rc <= L:

@@ -14,7 +14,6 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from strutopy_tpu.corpus.bow import create_dtm
 
 
 def ecdf(arr: np.ndarray) -> np.ndarray:
