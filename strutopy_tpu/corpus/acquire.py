@@ -157,7 +157,18 @@ def get_wiki_docs(
     """
     import os
 
-    label_names = [s.split()[0].lower() for s in seed_pages]
+    # first word of the seed title, deduped: colliding seeds (e.g.
+    # "Machine learning" + "Machine vision") would otherwise share one
+    # indicator column and merge their link graphs silently
+    label_names = []
+    for s in seed_pages:
+        base = s.split()[0].lower()
+        name = base
+        k = 2
+        while name in label_names:
+            name = f"{base}{k}"
+            k += 1
+        label_names.append(name)
     by_pageid = {}
     errors = []
     for si, seed in enumerate(seed_pages):

@@ -217,6 +217,14 @@ def estimate_effect_composition(
         D = model.X
     thetas = simulate_theta(model, n_draws=n_draws, seed=seed, chunk=chunk)
     D = _build_design(D, thetas.shape[1], add_intercept)
+    # drop empty (doc_ok=False) documents: their eta is frozen at 0 and
+    # the draws are pure prior noise — regressing those phantom rows
+    # against real covariate values biases coefficients toward zero and
+    # corrupts the between-draw variance
+    ok = np.asarray(getattr(model._corpus, "doc_ok", np.ones(len(D), bool)))
+    if not ok.all():
+        thetas = thetas[:, ok]
+        D = D[ok]
     K = thetas.shape[2]
     topics = list(range(K)) if topics is None else list(topics)
 

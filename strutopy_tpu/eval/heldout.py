@@ -43,12 +43,7 @@ def eval_heldout(heldout, theta, beta) -> float:
 
 
 @jax.jit
-def eval_heldout_jax(words, counts, doc_ok, theta, beta):
-    """Batched heldout likelihood on device.
-
-    words/counts: (N, L) padded heldout halves; theta (N, K) from the
-    completion fit; beta (K, V) from the full fit.
-    """
+def _eval_heldout_jax_core(words, counts, doc_ok, theta, beta):
     p = jnp.einsum("nk,knl->nl", theta, jnp.take(beta, words, axis=1))
     mask = counts > 0
     logp = jnp.where(mask, jnp.log(jnp.maximum(p, 1e-35)), 0.0)
@@ -57,6 +52,29 @@ def eval_heldout_jax(words, counts, doc_ok, theta, beta):
     per_doc = doc_tot / doc_n
     w = doc_ok.astype(per_doc.dtype)
     return jnp.sum(per_doc * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def eval_heldout_jax(words, counts, doc_ok, theta, beta):
+    """Batched heldout likelihood on device.
+
+    words/counts: (N, L) padded heldout halves; theta (N, K) from the
+    completion fit; beta (K, V) from the full fit.
+
+    Word ids are validated against beta's vocabulary on the host first:
+    ``jnp.take`` CLAMPS out-of-range ids, which would silently score a
+    mis-encoded heldout set on wrong probabilities — the numpy parity
+    anchor (:func:`eval_heldout`) raises on the same input.
+    """
+    V = beta.shape[-1]
+    live = np.asarray(counts) > 0
+    wh = np.asarray(words)
+    max_id = int(wh[live].max()) if live.any() else -1
+    if max_id >= V:
+        raise ValueError(
+            f"heldout contains word id {max_id} but beta has only {V} "
+            "terms — encoded with a different vocabulary?"
+        )
+    return _eval_heldout_jax_core(words, counts, doc_ok, theta, beta)
 
 
 def cut_in_half(doc_set):

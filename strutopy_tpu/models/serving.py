@@ -11,7 +11,6 @@ corpus.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Optional
 
@@ -40,6 +39,13 @@ def infer_theta(
     from strutopy_tpu.models.state import STMState
 
     V = beta.shape[-1]
+    if getattr(cfg, "newton_pass1_iters", 0):
+        # the two-pass straggler schedule is a TRAINING throughput
+        # trade: docs beyond the pass-2 budget keep their pass-1 eta,
+        # which EM absorbs over iterations but a one-shot inference
+        # would silently return under-converged.  Serving always runs
+        # the full single-pass Newton budget per document.
+        cfg = cfg.replace(newton_pass1_iters=0)
     if isinstance(documents, PaddedCorpus):
         corpus = documents
     else:
@@ -136,9 +142,14 @@ def _prior_means(gamma, eta_mean, cfg, K: int, N_new: int, X) -> np.ndarray:
         if Xa.ndim == 1:
             Xa = Xa[:, None]
         P = gamma.shape[1]
-        if Xa.shape[1] == P - 1:  # intercept column expected
+        # dispatch on the fitted config, not a column-count guess: with
+        # fit_intercept=False a (P-1)-column X is an ERROR, and silently
+        # prepending an intercept would misalign every gamma column
+        if cfg.fit_intercept and Xa.shape[1] == P - 1:
             D = np.c_[np.ones(N_new), Xa]
         elif Xa.shape[1] == P:
+            # no-intercept fit, or the caller already included the
+            # intercept column
             D = Xa
         else:
             raise ValueError(

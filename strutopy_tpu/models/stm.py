@@ -8,7 +8,6 @@ strutopy_tpu/models/em.py.
 
 from __future__ import annotations
 
-import json
 import logging
 import os
 import pickle
@@ -136,17 +135,13 @@ class STM:
             # device streams its shard of each part) — 1-D doc meshes
             # only: the vocab axis has no part-local psum wiring here.
             if mesh is not None:
-                from strutopy_tpu.parallel.mesh import VOCAB_AXIS
+                from strutopy_tpu.parallel.mesh import DOC_AXIS, VOCAB_AXIS
 
                 if VOCAB_AXIS in mesh.axis_names:
                     raise ValueError(
                         "stream_parts composes with 1-D document meshes; "
                         "vocab-sharded streaming is not supported"
                     )
-        if self._stream_parts > 1:
-            if mesh is not None:
-                from strutopy_tpu.parallel.mesh import DOC_AXIS
-
                 # bucket sizes must divide evenly into parts AND into
                 # each part's document shards
                 n_dev = self._stream_parts * mesh.shape[DOC_AXIS]
@@ -199,7 +194,21 @@ class STM:
             if beta_index is None:
                 raise ValueError("content=True requires beta_index (per-doc aspect)")
             bi = np.asarray(beta_index).astype(np.int32).ravel()
-            aspects_user[: len(bi)] = bi
+            # same guard class as OOV word ids (corpus/bow.py): a short
+            # array would silently zero-fill and an out-of-range aspect
+            # id would be clamped/dropped by the device gather/scatter,
+            # silently corrupting beta_ss and the bound
+            if len(bi) != corpus.N:
+                raise ValueError(
+                    f"beta_index has {len(bi)} entries but the corpus "
+                    f"has {corpus.N} documents"
+                )
+            if bi.size and (bi.min() < 0 or bi.max() >= config.A):
+                raise ValueError(
+                    f"beta_index values must lie in [0, A={config.A}); "
+                    f"got range [{bi.min()}, {bi.max()}]"
+                )
+            aspects_user[:] = bi
         self.betaindex = aspects_user
 
         doc_ok_storage = np.concatenate([b.doc_ok for b in buckets])
@@ -574,10 +583,13 @@ class STM:
         N_new = documents.N if isinstance(documents, PaddedCorpus) else len(documents)
 
         if cfg.model_type == "CTM" or self.X is None:
-            # mean over REAL docs only: exclude padding rows AND empty
-            # (doc_ok=False) user docs, matching the fitted mu which
-            # divides by doc_ok.sum() (ops/mstep.py CTM path)
-            ok = self._corpus.doc_ok[: self.N]
+            # mean over REAL docs only: exclude empty (doc_ok=False)
+            # user docs, matching the fitted mu which divides by
+            # doc_ok.sum() (ops/mstep.py CTM path).  self.eta is in
+            # user order with corpus.N rows, so the mask must be the
+            # FULL user-order doc_ok (self.N counts only real docs and
+            # would mis-size the mask when empties exist)
+            ok = self._corpus.doc_ok
             mu_row = self.eta[ok].mean(axis=0) if ok.any() else self.eta.mean(axis=0)
             mu_user = np.tile(mu_row, (N_new, 1))
         else:

@@ -87,8 +87,13 @@ def build_design(
         X = X.astype(np.float64)
         is_binary = np.all((X == 0) | (X == 1))
         if not is_binary and one_hot_threshold and X.shape[1] == 1:
-            levels = np.unique(X[:, 0])
-            if len(levels) <= 32:  # categorical -> one-hot (reference stm.py:669-671)
+            # infer levels from REAL documents only: bucket-padding rows
+            # are zero-filled (corpus/bucketing.py::gather_per_bucket),
+            # and a spurious level-0 column would desynchronize gamma's
+            # columns from the user's own encoding of X
+            real = doc_ok.astype(bool)
+            levels = np.unique(X[real, 0]) if real.any() else np.unique(X[:, 0])
+            if 0 < len(levels) <= 32:  # categorical -> one-hot (reference stm.py:669-671)
                 X = (X[:, :1] == levels[None, :]).astype(np.float64)
         cols.append(X)
     if fit_intercept or not cols:

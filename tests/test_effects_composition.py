@@ -146,3 +146,29 @@ def test_composition_on_streamed_fit(toy_corpus, toy_dictionary,
     # same draws seed + float32-identical fits: coefs agree tightly
     np.testing.assert_allclose(cs["coef"], c1["coef"], atol=5e-3)
     np.testing.assert_allclose(cs["se"], c1["se"], atol=5e-3)
+
+
+def test_composition_drops_empty_documents(toy_corpus, toy_dictionary,
+                                           toy_metadata):
+    """Empty docs' theta draws are pure prior noise; regressing them
+    against real covariate rows would bias coefficients toward zero."""
+    docs = list(toy_corpus.train_docs)
+    docs[2] = []  # make one doc empty (keeps X row count aligned)
+    model = STM(
+        documents=docs, dictionary=toy_dictionary, K=3,
+        X=toy_metadata[: len(docs)], max_em_iter=2,
+        init_type="random", model_type="STM", seed=5,
+    )
+    model.expectation_maximization(saving=False)
+    out = estimate_effect_composition(model, n_draws=3, chunk=16)
+    assert np.all(np.isfinite(out["coef"]))
+    # the OLS ran over n_real = N - 1 rows: reproduce it directly from
+    # the same draws restricted to real docs
+    thetas = simulate_theta(model, n_draws=3, seed=0, chunk=16)
+    ok = model._corpus.doc_ok
+    D = np.c_[np.ones(ok.sum()), np.asarray(toy_metadata[: len(docs)],
+                                            np.float64)[ok]]
+    b0, _ = __import__(
+        "strutopy_tpu.eval.effects", fromlist=["_ols_fit"]
+    )._ols_fit(np.asarray(thetas[0][ok], np.float64), D, out["topics"])
+    assert b0.shape == out["coef"].shape

@@ -63,3 +63,17 @@ def test_split_corpus():
     assert len(out["test_1"]) == 2
     out2 = split_corpus(docs, proportion=0.8, validation_set=True)
     assert len(out2["test"]) == 1 and len(out2["validate"]) == 1
+
+
+def test_eval_heldout_jax_rejects_oov_word_ids():
+    """jnp.take clamps out-of-range ids; the wrapper must raise like the
+    numpy parity anchor instead of silently scoring wrong rows."""
+    import pytest
+    from strutopy_tpu.eval.heldout import eval_heldout_jax
+
+    theta = np.full((2, 3), 1 / 3)
+    beta = np.full((3, 5), 0.2)
+    words = np.array([[0, 6], [1, 2]])  # 6 >= V=5
+    counts = np.ones((2, 2))
+    with pytest.raises(ValueError, match="word id 6"):
+        eval_heldout_jax(words, counts, np.ones(2, bool), theta, beta)

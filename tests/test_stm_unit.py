@@ -243,3 +243,73 @@ def test_stm_rejects_covariate_length_mismatch(toy_corpus, toy_dictionary):
     with pytest.raises(ValueError, match="rows but the corpus"):
         STM(documents=docs, dictionary=toy_dictionary, K=3,
             X=np.ones(len(docs) - 3), model_type="STM", init_type="random")
+
+
+def test_transform_ctm_with_empty_document(toy_corpus, toy_dictionary):
+    """Regression: the CTM transform prior used doc_ok[:self.N] (self.N
+    counts only REAL docs) against the corpus.N-row eta — any empty
+    document mis-sized the mask and crashed with IndexError."""
+    docs = list(toy_corpus.train_docs)
+    docs.insert(3, [])  # one empty doc
+    model = STM(
+        documents=docs, dictionary=toy_dictionary, K=3,
+        max_em_iter=2, init_type="random", model_type="CTM",
+    )
+    model.expectation_maximization(saving=False)
+    theta, _ = model.transform(toy_corpus.test_docs)
+    assert theta.shape[0] == len(toy_corpus.test_docs)
+    np.testing.assert_allclose(theta.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_stm_validates_beta_index(toy_corpus, toy_dictionary):
+    """Short or out-of-range aspect arrays must error (the device
+    gather/scatter would silently clamp/drop invalid aspect ids)."""
+    import pytest
+
+    train = toy_corpus.train_docs
+    short = np.zeros(len(train) - 2, np.int32)
+    with pytest.raises(ValueError, match="beta_index has"):
+        STM(documents=train, dictionary=toy_dictionary, K=3,
+            content=True, A=2, beta_index=short, max_em_iter=1,
+            init_type="random")
+    bad = np.zeros(len(train), np.int32)
+    bad[0] = 2  # A=2 -> valid ids are {0, 1}
+    with pytest.raises(ValueError, match="must lie in"):
+        STM(documents=train, dictionary=toy_dictionary, K=3,
+            content=True, A=2, beta_index=bad, max_em_iter=1,
+            init_type="random")
+
+
+def test_categorical_levels_ignore_bucket_padding(toy_corpus, toy_dictionary):
+    """Regression: one-hot level inference ran on the bucket-padded X
+    (zero-filled pad rows), emitting a spurious level-0 column whenever
+    0 was not a real level of a categorical covariate."""
+    train = toy_corpus.train_docs
+    # 3-level categorical WITHOUT a zero level
+    x = np.asarray([1.0, 2.0, 3.0])[np.arange(len(train)) % 3]
+    model = STM(
+        documents=train, dictionary=toy_dictionary, K=3, X=x,
+        max_em_iter=2, init_type="random", model_type="STM",
+        batch_size=16,  # forces padding unless len(train) % 16 == 0
+    )
+    model.expectation_maximization(saving=False)
+    # intercept + 3 one-hot level columns; a padding-induced level 0
+    # would make it 5
+    assert model.gamma.shape[1] == 4
+
+
+def test_serving_prior_rejects_missing_intercept_when_fit_without():
+    """_prior_means must dispatch on cfg.fit_intercept, not silently
+    prepend an intercept when the column count happens to be P-1."""
+    import pytest
+
+    from strutopy_tpu.models.config import STMConfig
+    from strutopy_tpu.models.serving import _prior_means
+
+    gamma = np.ones((2, 3))  # (K-1, P=3), fit WITHOUT intercept
+    cfg = STMConfig(K=3, fit_intercept=False)
+    X_bad = np.ones((4, 2))  # P-1 columns
+    with pytest.raises(ValueError, match="expects a 3-column"):
+        _prior_means(gamma, None, cfg, K=3, N_new=4, X=X_bad)
+    mu = _prior_means(gamma, None, cfg, K=3, N_new=4, X=np.ones((4, 3)))
+    assert mu.shape == (4, 2)
