@@ -25,14 +25,20 @@ def topic_correlations(sigma: np.ndarray) -> np.ndarray:
     """
     sigma = np.asarray(sigma, np.float64)
     Km1 = sigma.shape[0]
-    # expand to K x K: cov of [eta_1..eta_{K-1}, 0]
-    full = np.zeros((Km1 + 1, Km1 + 1))
-    full[:Km1, :Km1] = sigma
+    K = Km1 + 1
+    # expand to K x K THROUGH the softmax basis: e = [eta, 0] centered
+    # (log-ratio representation, invariant to the pinned coordinate).
+    # cov(e - mean(e) 1) = A [[sigma, 0], [0, 0]] A^T with
+    # A = I - (1/K) 1 1^T.  A plain zero-pad would give the pinned
+    # K-th topic structurally zero correlation with every other topic
+    # — an always-isolated node in the graph.
+    pad = np.zeros((K, K))
+    pad[:Km1, :Km1] = sigma
+    A = np.eye(K) - np.full((K, K), 1.0 / K)
+    full = A @ pad @ A.T
     d = np.sqrt(np.maximum(np.diagonal(full), 1e-12))
     corr = full / np.outer(d, d)
     np.fill_diagonal(corr, 1.0)
-    corr[Km1, :Km1] = 0.0
-    corr[:Km1, Km1] = 0.0
     return corr
 
 
@@ -61,8 +67,7 @@ def plot_topic_graph(sigma: np.ndarray, cutoff: float = 0.01, path: Optional[str
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    corr = topic_correlations(sigma)
-    K = corr.shape[0]
+    K = np.asarray(sigma).shape[0] + 1
     _, edges = topic_graph(sigma, cutoff)
     # circular layout (deterministic, dependency-free)
     ang = 2 * np.pi * np.arange(K) / K

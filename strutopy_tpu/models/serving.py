@@ -24,9 +24,17 @@ def infer_theta(
     documents,
     cfg,
     aspects_user: Optional[np.ndarray] = None,
+    full_convergence: bool = True,
 ):
     """One batched E-step under fixed (beta, sigma) with per-doc prior
-    means ``mu_user`` -> (theta, eta) in document order."""
+    means ``mu_user`` -> (theta, eta) in document order.
+
+    ``full_convergence=True`` (default) guarantees every document its
+    full Newton budget (the two-pass schedule with an uncapped
+    straggler admission — online latency within ~7% of the capped
+    training schedule on v5e, RESULTS.md); ``False`` keeps the training
+    config's capped budget — up to ~1.8x faster cold bulk scoring, but
+    hard documents beyond the pass-2 cap return their pass-1 eta."""
     import jax.numpy as jnp
 
     from strutopy_tpu.corpus.bow import PaddedCorpus, pad_corpus
@@ -39,13 +47,17 @@ def infer_theta(
     from strutopy_tpu.models.state import STMState
 
     V = beta.shape[-1]
-    if getattr(cfg, "newton_pass1_iters", 0):
-        # the two-pass straggler schedule is a TRAINING throughput
-        # trade: docs beyond the pass-2 budget keep their pass-1 eta,
-        # which EM absorbs over iterations but a one-shot inference
-        # would silently return under-converged.  Serving always runs
-        # the full single-pass Newton budget per document.
-        cfg = cfg.replace(newton_pass1_iters=0)
+    if full_convergence and getattr(cfg, "newton_pass1_iters", 0):
+        # The training schedule's straggler BUDGET (frac*N) is a
+        # throughput trade: docs beyond it keep their pass-1 eta, which
+        # EM's warm starts absorb over iterations — but a one-shot
+        # inference starts cold at mu, so capped docs would silently
+        # return under-converged.  frac=1.0 admits every unconverged
+        # doc to pass 2 (full remaining budget, no overflow possible)
+        # while keeping the schedule's dense packing: converged docs
+        # still drop out after pass 1, so this is far cheaper than
+        # disabling the schedule outright (measured on v5e, RESULTS.md).
+        cfg = cfg.replace(newton_straggler_frac=1.0)
     if isinstance(documents, PaddedCorpus):
         corpus = documents
     else:
@@ -95,6 +107,7 @@ def infer_theta(
         kappa=jnp.zeros((0, V), jnp.float32),
         bound=jnp.asarray(0.0, jnp.float32),
         opt_iters=jnp.zeros((N_pad,), jnp.int32),
+        straggler_overflow=jnp.zeros((), jnp.int32),
     )
     _stats, eta, theta, _iters = local_estep_stats(
         state, data, cfg, plan.batch_sizes
@@ -232,8 +245,12 @@ class ThetaServer:
         self._beta = jnp.asarray(beta, jnp.float32)
         self._sigma = jnp.asarray(sigma, jnp.float32)
 
-    def infer(self, documents, X=None, beta_index=None):
-        """(theta, eta) for new documents, in document order."""
+    def infer(self, documents, X=None, beta_index=None,
+              full_convergence: bool = True):
+        """(theta, eta) for new documents, in document order.
+
+        ``full_convergence=False`` trades guaranteed per-doc convergence
+        for the training schedule's lower latency (see infer_theta)."""
         if self.content and beta_index is None:
             raise ValueError(
                 "this is a content-covariate model (per-aspect beta); pass "
@@ -242,7 +259,8 @@ class ThetaServer:
         mu_user = _prior_means(self._gamma, self._eta_mean, self.cfg, self.K,
                                _n_docs(documents), X)
         return infer_theta(self._beta, self._sigma, mu_user, documents,
-                           self.cfg, aspects_user=beta_index)
+                           self.cfg, aspects_user=beta_index,
+                           full_convergence=full_convergence)
 
     def warmup(self, n_docs: int = 1, doc_len: int = 64) -> None:
         """Compile the serving path for the shape a ``n_docs``-request with

@@ -88,4 +88,9 @@ def init_state(
         gamma=jnp.zeros((K - 1, P), dtype),
         kappa=jnp.zeros((kappa_p, V), dtype),
         bound=jnp.array(-jnp.inf, dtype),
+        # a strong-typed int32 array, NOT the python-int field default:
+        # a weak-typed 0 here gives iteration 1 a different aval than
+        # the int32 the EM step returns, forcing a full-graph retrace
+        # (2-6 min per TPU compile through the tunnel) on iteration 2
+        straggler_overflow=jnp.zeros((), jnp.int32),
     )

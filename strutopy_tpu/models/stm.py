@@ -459,15 +459,28 @@ class STM:
                 if cfg.newton_pass1_iters:
                     # unconditional (bound is already host-synced above;
                     # this read is free): silent under-convergence is
-                    # exactly what this diagnostic exists to surface
+                    # exactly what this diagnostic exists to surface.
+                    # WARN once per fit — overflow is routine for the
+                    # default schedule on large corpora (bound parity
+                    # vs single-pass measured ~1e-7, RESULTS.md), so a
+                    # per-iteration warning would just be noise; the
+                    # per-iteration count stays available at DEBUG and
+                    # via model.straggler_overflow.
                     ov = int(np.asarray(self._state.straggler_overflow))
-                    if ov > 0:
+                    if ov > 0 and not getattr(self, "_overflow_warned", False):
+                        self._overflow_warned = True
                         logger.warning(
                             "EM iteration %d: %d docs exceeded the two-pass "
-                            "straggler budget and kept their pass-1 eta; "
-                            "raise newton_straggler_frac (%.2f) if this "
-                            "persists at steady state",
+                            "straggler budget and kept their pass-1 eta "
+                            "(further occurrences logged at DEBUG; check "
+                            "model.straggler_overflow, raise "
+                            "newton_straggler_frac (%.2f) if bound/heldout "
+                            "degrade)",
                             it, ov, cfg.newton_straggler_frac,
+                        )
+                    elif ov > 0:
+                        logger.debug(
+                            "EM iteration %d: straggler overflow %d", it, ov
                         )
                 self.last_bounds.append(bound)
                 self.docs_per_sec = self.N / max(it_dt, 1e-9)

@@ -31,13 +31,26 @@ def test_topic_correlations_shape_and_diag():
     corr = topic_correlations(sigma)
     assert corr.shape == (3, 3)
     np.testing.assert_allclose(np.diagonal(corr), 1.0)
-    assert abs(corr[0, 1] - 0.8 / np.sqrt(2.0 * 1.5)) < 1e-12
+    # centered-log-ratio expansion: full = A [[sigma,0],[0,0]] A^T with
+    # A = I - (1/K) 1 1^T — compute the oracle directly
+    K = 3
+    pad = np.zeros((K, K))
+    pad[:2, :2] = sigma
+    A = np.eye(K) - np.full((K, K), 1.0 / K)
+    full = A @ pad @ A.T
+    d = np.sqrt(np.diagonal(full))
+    np.testing.assert_allclose(corr, full / np.outer(d, d), atol=1e-12)
+    # the pinned K-th topic must NOT be structurally uncorrelated (the
+    # old zero-pad made it an always-isolated node in every graph)
+    assert np.abs(corr[2, :2]).max() > 0.1
 
 
 def test_topic_graph_edges():
     sigma = np.array([[1.0, 0.9], [0.9, 1.0]])
-    adj, edges = topic_graph(sigma, cutoff=0.5)
-    assert adj[0, 1] and not adj[0, 2]
+    adj, edges = topic_graph(sigma, cutoff=0.3)
+    # topics 0/1 co-vary positively; both anti-correlate with the
+    # pinned topic 2 under the centered expansion (no 0-2/1-2 edge)
+    assert adj[0, 1] and not adj[0, 2] and not adj[1, 2]
     assert len(edges) == 1 and edges[0][:2] == (0, 1)
 
 

@@ -104,3 +104,29 @@ def test_spectral_init_sharded_matches_single_device():
     # the greedy anchor argmax could in principle tie-break differently
     # under reordered f32 sums; with a real corpus signal it does not
     np.testing.assert_allclose(b8, b1, atol=5e-5)
+
+
+def test_fast_anchor_matches_reference_exactly(ref_modules):
+    """Pin anchor selection to the reference's fastAnchor on the same Q.
+
+    The reference ranks candidates by COLUMN squared sums
+    (`Q.power(2).sum(axis=0)`, stm.py:175 — its variable is named
+    row_squared_sum but scipy's axis=0 sums columns) while normalizing
+    and projecting ROWS.  That deviates from R-stm's rowSums(Q^2), and
+    this framework preserves the reference's actual behavior
+    (PARITY_NOTES.md); this test fails if either side changes axis.
+    """
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    ref_stm, _ = ref_modules
+    rng = np.random.default_rng(7)
+    V, K = 40, 6
+    Q = rng.gamma(1.0, 1.0, (V, V))
+    Q = Q / Q.sum(axis=1, keepdims=True)  # row-normalized like _gram_finish
+
+    # csr_matrix, not csr_array: the reference's row indexing (Q[maxind,])
+    # only keeps 2-D semantics under the legacy matrix API it was run with
+    ref_anchor = ref_stm.fastAnchor(sp.csr_matrix(Q.copy()), K, verbose=False)
+    ours = np.asarray(fast_anchor(jnp.asarray(Q, jnp.float32), K))
+    np.testing.assert_array_equal(ours, ref_anchor.astype(np.int64))

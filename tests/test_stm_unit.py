@@ -313,3 +313,33 @@ def test_serving_prior_rejects_missing_intercept_when_fit_without():
         _prior_means(gamma, None, cfg, K=3, N_new=4, X=X_bad)
     mu = _prior_means(gamma, None, cfg, K=3, N_new=4, X=np.ones((4, 3)))
     assert mu.shape == (4, 2)
+
+
+def test_init_state_has_strong_typed_overflow_counter():
+    """Regression: a weak-typed python-int straggler_overflow gave
+    iteration 1 a different aval than the int32 array the EM step
+    returns, silently forcing a full-graph retrace (2-6 min per TPU
+    compile) on iteration 2 of every fresh fit."""
+    import jax
+    import jax.numpy as jnp
+
+    from strutopy_tpu.models.state import init_state
+
+    s = init_state(jax.random.PRNGKey(0), K=3, V=16, N=8, P=2)
+    assert isinstance(s.straggler_overflow, jax.Array)
+    assert s.straggler_overflow.dtype == jnp.int32
+    assert not s.straggler_overflow.weak_type
+
+    traces = []
+
+    @jax.jit
+    def step(state):
+        traces.append(1)
+        return state._replace(
+            straggler_overflow=jnp.zeros((), jnp.int32),
+            bound=state.bound + 1,
+        )
+
+    out = step(s)
+    out = step(out)  # same avals -> no retrace
+    assert len(traces) == 1
