@@ -113,6 +113,14 @@ def main(argv=None):
                    help="single-fit transform-based completion (2x faster)")
     _add_mesh_arg(p)
 
+    p = sub.add_parser("search-k", help="per-K diagnostics table: heldout, bound, "
+                       "coherence, exclusivity, residual dispersion (R-stm searchK)")
+    p.add_argument("--corpus", type=str, required=True)
+    p.add_argument("--K", type=int, nargs="+", required=True)
+    p.add_argument("--X", type=str, default=None)
+    p.add_argument("--max-em-iter", type=int, default=10)
+    _add_mesh_arg(p)
+
     p = sub.add_parser("infer", help="serve: theta for new docs from saved artifacts")
     p.add_argument("--model-dir", type=str, required=True,
                    help="artifact directory written by `fit`")
@@ -208,6 +216,20 @@ def main(argv=None):
             max_em_iter=args.max_em_iter,
             mesh=_mesh_from_args(args),
             fast=args.fast,
+        )
+        print(json.dumps(results, indent=2))
+
+    elif args.cmd == "search-k":
+        from strutopy_tpu.pipeline import search_k
+
+        corpus = _load_corpus(args.corpus)
+        X = np.load(args.X) if args.X else None
+        results = search_k(
+            corpus,
+            K_candidates=args.K,
+            X=X,
+            max_em_iter=args.max_em_iter,
+            mesh=_mesh_from_args(args),
         )
         print(json.dumps(results, indent=2))
 

@@ -1,4 +1,5 @@
 from strutopy_tpu.eval.heldout import eval_heldout, eval_heldout_jax, cut_in_half, split_corpus
+from strutopy_tpu.eval.residuals import check_residuals
 from strutopy_tpu.eval.diagnostics import (
     ecdf,
     frex,

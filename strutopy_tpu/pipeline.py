@@ -264,3 +264,70 @@ def find_k(
             logger.info("find_k: model=%s K=%d heldout=%.5f", mt, K, ll)
             results[mt][K] = ll
     return results
+
+
+def search_k(
+    documents,
+    K_candidates: Sequence[int],
+    X=None,
+    proportion: float = 0.8,
+    init_type: str = "spectral",
+    max_em_iter: int = 10,
+    mesh=None,
+    M: int = 10,
+    tol: float = 0.01,
+    **kwargs,
+):
+    """Full per-K diagnostic table (R-stm ``searchK`` analog).
+
+    :func:`find_k` reproduces the reference's selection (heldout only,
+    src/06_example_application.py:183-195); R-stm's searchK also
+    reports the converged bound, semantic coherence, exclusivity and
+    the Taddy residual dispersion per K — this returns all of them so
+    the K choice can weigh fit against interpretability:
+
+      {K: {"heldout", "bound", "coherence", "exclusivity",
+           "dispersion", "fit_seconds"}}
+
+    Heldout uses the fast transform-based document-completion protocol
+    (one fit per K); coherence/exclusivity average over topics on the
+    fitted beta; dispersion scores the training fit's own documents.
+    """
+    import time
+
+    from strutopy_tpu.eval.diagnostics import exclusivity, semantic_coherence
+    from strutopy_tpu.eval.residuals import check_residuals
+
+    documents = list(documents)
+    results = {}
+    for K in K_candidates:
+        t0 = time.monotonic()
+        ll, model, _ = train_and_eval_heldout(
+            documents[: int(proportion * len(documents))],
+            documents[int(proportion * len(documents)) :],
+            K=K,
+            X=X,
+            init_type=init_type,
+            max_em_iter=max_em_iter,
+            mesh=mesh,
+            fast=True,
+            **kwargs,
+        )
+        # model was fit on train + test = all of `documents` (fast
+        # protocol); theta rows are in that user order
+        beta = model.beta
+        beta2d = beta if beta.ndim == 2 else beta.mean(axis=0)
+        aspect = model.betaindex if beta.ndim == 3 else None
+        disp = check_residuals(
+            documents, model.theta, beta, tol=tol, aspect=aspect
+        )["dispersion"]
+        results[int(K)] = {
+            "heldout": float(ll),
+            "bound": float(model.last_bounds[-1]),
+            "coherence": float(np.mean(semantic_coherence(beta2d, documents, M=M))),
+            "exclusivity": float(np.mean(exclusivity(beta2d, M=M))),
+            "dispersion": float(disp),
+            "fit_seconds": time.monotonic() - t0,
+        }
+        logger.info("search_k: K=%d %s", K, results[int(K)])
+    return results

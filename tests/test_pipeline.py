@@ -53,6 +53,21 @@ def test_find_k(toy_corpus, toy_metadata):
         assert v < 0
 
 
+def test_search_k_full_diagnostics(toy_corpus):
+    res = pipeline.search_k(
+        toy_corpus.documents,
+        K_candidates=[3],
+        init_type="random",
+        max_em_iter=2,
+        model_type="CTM",
+    )
+    row = res[3]
+    assert set(row) == {"heldout", "bound", "coherence", "exclusivity",
+                        "dispersion", "fit_seconds"}
+    assert row["heldout"] < 0 and row["coherence"] < 0
+    assert row["dispersion"] > 0 and row["fit_seconds"] > 0
+
+
 def test_fit_model_saves_artifacts(tmp_path, toy_corpus, toy_metadata):
     model = pipeline.fit_model(
         toy_corpus.train_docs,
