@@ -13,7 +13,7 @@ from __future__ import annotations
 import re
 import string
 from collections import Counter
-from typing import Iterable, Optional
+from typing import Iterable, Optional, Sequence
 
 from strutopy_tpu.corpus.bow import Vocabulary
 
@@ -120,3 +120,41 @@ def build_corpus(
         counts = Counter(t for t in toks if t in keep)
         bow.append(sorted((index[t], c) for t, c in counts.items()))
     return bow, Vocabulary.from_tokens(vocab_tokens)
+
+
+def removed_by_threshold(
+    texts: Iterable[str],
+    thresholds: Sequence[int],
+    stopwords: Optional[frozenset] = DEFAULT_STOPWORDS,
+) -> dict:
+    """Words/documents/tokens removed per lower document-frequency
+    threshold (R-stm ``plotRemoved``'s statistic; absent upstream).
+
+    For each candidate ``min_doc_freq`` value, reports how many
+    vocabulary terms would be dropped, how many tokens those terms
+    carry, and how many documents would become EMPTY — the standard
+    view for choosing ``build_corpus(min_doc_freq=...)``.
+
+    Tokenizes once; each threshold is then a histogram lookup.
+    """
+    token_docs = [tokenize(t, stopwords) for t in texts]
+    doc_freq: Counter = Counter()
+    tok_count: Counter = Counter()
+    for toks in token_docs:
+        doc_freq.update(set(toks))
+        tok_count.update(toks)
+    # per-doc survival: a doc dies at threshold t if every term it
+    # contains has doc_freq < t
+    doc_max_df = [
+        max((doc_freq[t] for t in set(toks)), default=0) for toks in token_docs
+    ]
+    out = {"threshold": [], "words_removed": [], "tokens_removed": [],
+           "docs_removed": []}
+    for thr in thresholds:
+        thr = int(thr)
+        dropped = [t for t, df in doc_freq.items() if df < thr]
+        out["threshold"].append(thr)
+        out["words_removed"].append(len(dropped))
+        out["tokens_removed"].append(sum(tok_count[t] for t in dropped))
+        out["docs_removed"].append(sum(1 for m in doc_max_df if m < thr))
+    return out

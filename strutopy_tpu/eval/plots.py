@@ -161,3 +161,25 @@ def plot_heldout_by_k(results: Mapping, path: Optional[str] = None):
     if path:
         fig.savefig(path, bbox_inches="tight")
     return fig
+
+
+def plot_removed(stats: Mapping, path: Optional[str] = None):
+    """R-stm ``plotRemoved``: words/tokens/documents dropped as a
+    function of the lower document-frequency threshold.  ``stats`` is
+    the dict from corpus.preprocess.removed_by_threshold."""
+    plt = _plt()
+    thr = stats["threshold"]
+    fig, axes = plt.subplots(1, 3, figsize=(12, 3.2))
+    for ax, key, label in zip(
+        axes,
+        ("words_removed", "tokens_removed", "docs_removed"),
+        ("vocabulary terms removed", "tokens removed", "documents emptied"),
+    ):
+        ax.plot(thr, stats[key], marker="o")
+        ax.set_xlabel("min document frequency")
+        ax.set_ylabel(label)
+    fig.suptitle("Preprocessing threshold diagnostics (plotRemoved)")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+    return fig

@@ -158,3 +158,26 @@ def test_get_wiki_docs_with_stubbed_fetch(tmp_path):
         label_columns=("statistics", "machine"),
     )
     assert len(texts) == 3 and all(t for t in texts)
+
+
+def test_removed_by_threshold_counts_exactly():
+    from strutopy_tpu.corpus.preprocess import removed_by_threshold
+
+    # term document frequencies by construction (stopwords disabled):
+    #   "aaa" in 3 docs (6 tokens), "bbb" in 2 (2), "ccc" in 1 (3)
+    texts = ["aaa aaa bbb", "aaa ccc ccc ccc", "aaa aaa aaa bbb"]
+    stats = removed_by_threshold(texts, thresholds=[1, 2, 3, 4], stopwords=None)
+    assert stats["threshold"] == [1, 2, 3, 4]
+    assert stats["words_removed"] == [0, 1, 2, 3]
+    assert stats["tokens_removed"] == [0, 3, 5, 11]
+    # doc 2 contains only aaa+ccc: survives until aaa drops at thr=4
+    assert stats["docs_removed"] == [0, 0, 0, 3]
+
+
+def test_plot_removed_renders(tmp_path):
+    from strutopy_tpu.corpus.preprocess import removed_by_threshold
+
+    texts = ["aaa aaa bbb", "aaa ccc ccc", "aaa bbb ddd"]
+    stats = removed_by_threshold(texts, thresholds=[1, 2, 3], stopwords=None)
+    plots.plot_removed(stats, path=str(tmp_path / "rm.png"))
+    assert (tmp_path / "rm.png").stat().st_size > 0
