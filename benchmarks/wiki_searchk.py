@@ -14,15 +14,19 @@ Run from the repo root on the TPU:  python - < benchmarks/wiki_searchk.py
 
 import json
 import os
+import sys
 
 import numpy as np
 
 WIKI = "/root/reference/src/artifacts/wiki_data"
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "results_wiki_searchk.json")
+_DIR = (os.path.dirname(os.path.abspath(__file__))
+        if "__file__" in globals() else "benchmarks")
+OUT = os.path.join(_DIR, "results_wiki_searchk.json")
 
 
 def main():
+    import jax
+
     from strutopy_tpu.corpus.io import read_mm
     from strutopy_tpu.pipeline import search_k
 
@@ -43,6 +47,7 @@ def main():
             "init_type": "spectral",
             "max_em_iter": 10,
             "protocol": "fast transform-based completion",
+            "platform": jax.devices()[0].platform,
         },
         "results": results,
     }
@@ -52,4 +57,10 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--platform" in sys.argv:
+        import jax
+
+        jax.config.update(
+            "jax_platforms", sys.argv[sys.argv.index("--platform") + 1]
+        )
     main()

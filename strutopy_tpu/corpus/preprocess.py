@@ -158,3 +158,50 @@ def removed_by_threshold(
         out["tokens_removed"].append(sum(tok_count[t] for t in dropped))
         out["docs_removed"].append(sum(1 for m in doc_max_df if m < thr))
     return out
+
+
+def align_corpus(
+    docs,
+    vocab,
+    stopwords: Optional[frozenset] = DEFAULT_STOPWORDS,
+) -> tuple:
+    """Encode NEW documents against a fitted model's vocabulary
+    (R-stm ``alignCorpus``; absent upstream — the reference can only
+    score documents that were encoded together with the training set).
+
+    ``docs``: raw text strings or pre-tokenized lists of tokens.
+    ``vocab``: the model's Vocabulary (or any iterable of tokens in id
+    order).  Out-of-vocabulary tokens are dropped — a fitted beta has
+    no column for them.
+
+    Returns (bow, report): ``bow`` in the framework's list-of-
+    (id, count) convention, ready for ``STM.transform`` /
+    ``ThetaServer``; ``report`` says what was lost:
+    ``tokens_dropped`` (total OOV token occurrences), ``oov_types``
+    (distinct OOV terms), ``docs_emptied`` (documents with no
+    in-vocabulary token left).
+    """
+    index = {t: i for i, t in enumerate(vocab)}
+    bow = []
+    tokens_dropped = 0
+    oov: set = set()
+    docs_emptied = 0
+    for doc in docs:
+        toks = tokenize(doc, stopwords) if isinstance(doc, str) else list(doc)
+        counts: Counter = Counter()
+        for t in toks:
+            i = index.get(t)
+            if i is None:
+                tokens_dropped += 1
+                oov.add(t)
+            else:
+                counts[i] += 1
+        if toks and not counts:
+            docs_emptied += 1
+        bow.append(sorted(counts.items()))
+    report = {
+        "tokens_dropped": tokens_dropped,
+        "oov_types": len(oov),
+        "docs_emptied": docs_emptied,
+    }
+    return bow, report

@@ -181,3 +181,25 @@ def test_plot_removed_renders(tmp_path):
     stats = removed_by_threshold(texts, thresholds=[1, 2, 3], stopwords=None)
     plots.plot_removed(stats, path=str(tmp_path / "rm.png"))
     assert (tmp_path / "rm.png").stat().st_size > 0
+
+
+def test_align_corpus_encodes_against_fitted_vocab():
+    from strutopy_tpu.corpus.preprocess import align_corpus, build_corpus
+
+    train_texts = [
+        "alpha beta gamma alpha", "beta gamma delta",
+        "alpha delta delta gamma", "gamma beta alpha",
+    ]
+    bow, vocab = build_corpus(train_texts, stopwords=None)
+    new_bow, report = align_corpus(
+        ["alpha alpha zeta beta", "zeta zeta eta"], vocab, stopwords=None
+    )
+    # first doc: alpha x2 + beta, zeta dropped
+    ids = {t: i for i, t in enumerate(vocab)}
+    assert new_bow[0] == sorted([(ids["alpha"], 2), (ids["beta"], 1)])
+    # second doc: fully OOV
+    assert new_bow[1] == []
+    assert report == {"tokens_dropped": 4, "oov_types": 2, "docs_emptied": 1}
+    # pre-tokenized input works too
+    tok_bow, _ = align_corpus([["alpha", "beta"]], vocab)
+    assert tok_bow[0] == sorted([(ids["alpha"], 1), (ids["beta"], 1)])
