@@ -183,3 +183,54 @@ def plot_removed(stats: Mapping, path: Optional[str] = None):
     if path:
         fig.savefig(path, bbox_inches="tight")
     return fig
+
+
+def plot_perspectives(
+    beta,
+    vocab,
+    topics,
+    aspects=None,
+    n: int = 25,
+    path: Optional[str] = None,
+):
+    """R-stm ``plot.STM(type="perspectives")``: contrast two topics —
+    or ONE topic across two aspects of a content model — as words
+    placed by their probability contrast, sized by combined mass.
+
+    ``beta``: (K, V), with ``topics=(k1, k2)``; or (A, K, V) with
+    ``topics=k`` and ``aspects=(a1, a2)``.
+    """
+    plt = _plt()
+    beta = np.asarray(beta, np.float64)
+    if beta.ndim == 3:
+        if aspects is None or np.ndim(topics) != 0:
+            raise ValueError(
+                "content-model beta needs topics=<one topic>, aspects=(a1, a2)"
+            )
+        k = int(topics)
+        b1, b2 = beta[int(aspects[0]), k], beta[int(aspects[1]), k]
+        labels = (f"topic {k} / aspect {aspects[0]}",
+                  f"topic {k} / aspect {aspects[1]}")
+    else:
+        k1, k2 = topics
+        b1, b2 = beta[int(k1)], beta[int(k2)]
+        labels = (f"topic {k1}", f"topic {k2}")
+    mass = b1 + b2
+    top = np.argsort(-mass)[:n]
+    # x in [-1, 1]: relative leaning; y spreads ties for readability
+    x = (b2[top] - b1[top]) / np.maximum(mass[top], 1e-300)
+    size = mass[top] / mass[top].max()
+    order = np.argsort(x)
+    fig, ax = plt.subplots(figsize=(8, 6))
+    for rank, i in enumerate(order):
+        ax.text(x[i], rank, str(vocab[int(top[i])]),
+                fontsize=7 + 13 * size[i], ha="center", va="center")
+    ax.set_xlim(-1.15, 1.15)
+    ax.set_ylim(-1, n)
+    ax.set_yticks([])
+    ax.set_xticks([-1, 0, 1])
+    ax.set_xticklabels([labels[0], "shared", labels[1]])
+    ax.set_title("Perspectives: word-probability contrast")
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+    return fig

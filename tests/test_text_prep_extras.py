@@ -203,3 +203,20 @@ def test_align_corpus_encodes_against_fitted_vocab():
     # pre-tokenized input works too
     tok_bow, _ = align_corpus([["alpha", "beta"]], vocab)
     assert tok_bow[0] == sorted([(ids["alpha"], 1), (ids["beta"], 1)])
+
+
+def test_plot_perspectives_renders(tmp_path):
+    rng = np.random.default_rng(2)
+    beta = rng.dirichlet(np.ones(40), size=3)
+    vocab = Vocabulary([f"w{i}" for i in range(40)])
+    plots.plot_perspectives(beta, vocab, topics=(0, 2), n=15,
+                            path=str(tmp_path / "p2.png"))
+    beta3 = rng.dirichlet(np.ones(40), size=(2, 3))
+    plots.plot_perspectives(beta3, vocab, topics=1, aspects=(0, 1), n=15,
+                            path=str(tmp_path / "p3.png"))
+    for f in ("p2.png", "p3.png"):
+        assert (tmp_path / f).stat().st_size > 0
+    import pytest
+
+    with pytest.raises(ValueError, match="aspects"):
+        plots.plot_perspectives(beta3, vocab, topics=(0, 1))
