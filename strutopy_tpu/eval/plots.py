@@ -234,3 +234,31 @@ def plot_perspectives(
     if path:
         fig.savefig(path, bbox_inches="tight")
     return fig
+
+
+def plot_search_k(results: Mapping, path: Optional[str] = None):
+    """R-stm ``plot.searchK``: the four model-selection panels
+    (heldout, residual dispersion, semantic coherence, bound) over K.
+    ``results`` is the dict from pipeline.search_k."""
+    plt = _plt()
+    # tolerate string keys (results round-tripped through JSON)
+    results = {int(k): v for k, v in results.items()}
+    Ks = sorted(results)
+    panels = (
+        ("heldout", "heldout log-likelihood"),
+        ("dispersion", "residual dispersion"),
+        ("coherence", "semantic coherence"),
+        ("bound", "variational bound"),
+    )
+    fig, axes = plt.subplots(2, 2, figsize=(9, 7))
+    for ax, (key, label) in zip(axes.ravel(), panels):
+        ax.plot(Ks, [results[k][key] for k in Ks], marker="o")
+        ax.set_xlabel("K")
+        ax.set_title(label)
+    if "dispersion" in results[Ks[0]]:
+        axes.ravel()[1].axhline(1.0, color="gray", lw=1, ls="--")
+    fig.suptitle("search_k model-selection diagnostics")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+    return fig

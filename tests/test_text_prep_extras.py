@@ -220,3 +220,14 @@ def test_plot_perspectives_renders(tmp_path):
 
     with pytest.raises(ValueError, match="aspects"):
         plots.plot_perspectives(beta3, vocab, topics=(0, 1))
+
+
+def test_plot_search_k_renders(tmp_path):
+    results = {
+        5: {"heldout": -7.1, "dispersion": 1.4, "coherence": -80.0,
+            "bound": -1e5, "exclusivity": 9.0, "fit_seconds": 1.0},
+        "10": {"heldout": -7.0, "dispersion": 1.2, "coherence": -85.0,
+               "bound": -9e4, "exclusivity": 9.2, "fit_seconds": 1.2},
+    }
+    plots.plot_search_k(results, path=str(tmp_path / "sk.png"))
+    assert (tmp_path / "sk.png").stat().st_size > 0
