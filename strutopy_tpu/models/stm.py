@@ -703,3 +703,40 @@ class STM:
         """Per-topic coherence/exclusivity pair (R-stm ``topicQuality``
         axes); plot with :func:`eval.diagnostics.plot_topic_quality`."""
         return diagnostics.topic_quality(self.beta, self._corpus, M=M, w=w)
+
+    def check_residuals(self, tol: float = 0.01) -> dict:
+        """Multinomial dispersion of the fit's residuals (R-stm
+        ``checkResiduals``, Taddy 2012; see eval/residuals.py).
+        Dispersion >> 1 suggests raising K."""
+        from strutopy_tpu.eval.residuals import check_residuals
+
+        beta = self.beta
+        aspect = self.betaindex if beta.ndim == 3 else None
+        return check_residuals(
+            self._corpus, self.theta, beta, tol=tol, aspect=aspect
+        )
+
+    def summary(self, n: int = 5, print_summary: bool = True) -> str:
+        """Printable model overview (R-stm ``summary.STM``): dimensions,
+        convergence, and each topic's highest-probability words."""
+        K = self.config.K
+        lines = [
+            f"A topic model with {K} topics, {self._corpus.N} documents "
+            f"and a {len(self.dictionary)} word dictionary.",
+            f"model_type={self.config.model_type} mode={self.config.mode} "
+            f"content={self.config.content} "
+            f"em_iterations={len(self.last_bounds)} "
+            f"final_bound={self.last_bounds[-1]:.2f}"
+            if self.last_bounds else "(not fitted yet)",
+        ]
+        if self.last_bounds:
+            prob_labels, _frex_labels = self.label_topics(n=n)
+            prop = self.theta.mean(axis=0)
+            lines.append("Topics (highest probability words, mean proportion):")
+            for k in range(K):
+                words = ", ".join(str(w) for w in prob_labels[k])
+                lines.append(f"  {k:>3} ({prop[k]:.3f}): {words}")
+        out = "\n".join(lines)
+        if print_summary:
+            print(out)
+        return out

@@ -343,3 +343,28 @@ def test_init_state_has_strong_typed_overflow_counter():
     out = step(s)
     out = step(out)  # same avals -> no retrace
     assert len(traces) == 1
+
+
+def test_summary_and_check_residuals(toy_corpus, toy_dictionary):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from strutopy_tpu.models.stm import STM
+
+    model = STM(
+        documents=toy_corpus.documents,
+        dictionary=toy_dictionary,
+        K=3,
+        model_type="CTM",
+        init_type="random",
+        max_em_iter=2,
+        batch_size=16,
+    )
+    s0 = model.summary(print_summary=False)
+    assert "not fitted yet" in s0
+    model.expectation_maximization(saving=False)
+    s = model.summary(n=3, print_summary=False)
+    assert "3 topics" in s and "em_iterations=2" in s
+    assert s.count("): ") == 3  # one line per topic
+    r = model.check_residuals()
+    assert r["dispersion"] > 0 and r["df"] > 0
