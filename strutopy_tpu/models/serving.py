@@ -231,6 +231,8 @@ class ThetaServer:
     """
 
     def __init__(self, model_dir: str):
+        import json
+
         import jax.numpy as jnp
 
         beta, sigma, gamma, eta_mean, cfg = _load_params(model_dir)
@@ -240,6 +242,14 @@ class ThetaServer:
         self.content = beta.ndim == 3
         self._gamma = gamma
         self._eta_mean = eta_mean
+        # vocabulary (saved by save_model beyond the reference artifact
+        # set) enables raw-text requests; absent in reference-produced
+        # artifact dirs, where only pre-encoded BoW can be served
+        self.vocab = None
+        vocab_path = os.path.join(model_dir, "vocab.json")
+        if os.path.exists(vocab_path):
+            with open(vocab_path) as f:
+                self.vocab = json.load(f)
         # Device-resident parameters: uploaded once, reused every call
         # (infer_theta's jnp.asarray is then a no-op).
         self._beta = jnp.asarray(beta, jnp.float32)
@@ -261,6 +271,28 @@ class ThetaServer:
         return infer_theta(self._beta, self._sigma, mu_user, documents,
                            self.cfg, aspects_user=beta_index,
                            full_convergence=full_convergence)
+
+    def infer_text(self, texts, X=None, beta_index=None,
+                   full_convergence: bool = True, stopwords="default"):
+        """(theta, eta, report) for RAW TEXT requests: tokenizes and
+        encodes against the model's saved vocabulary (align_corpus),
+        then infers.  ``report`` is align_corpus's OOV loss summary
+        plus the encoded BoW under ``"bow"``."""
+        if self.vocab is None:
+            raise ValueError(
+                "this artifact directory has no vocab.json (written by "
+                "save_model); re-save the model or pass pre-encoded BoW "
+                "documents to infer()"
+            )
+        from strutopy_tpu.corpus.preprocess import DEFAULT_STOPWORDS, align_corpus
+
+        if stopwords == "default":
+            stopwords = DEFAULT_STOPWORDS
+        bow, report = align_corpus(texts, self.vocab, stopwords=stopwords)
+        theta, eta = self.infer(bow, X=X, beta_index=beta_index,
+                                full_convergence=full_convergence)
+        report = dict(report, bow=bow)
+        return theta, eta, report
 
     def warmup(self, n_docs: int = 1, doc_len: int = 64) -> None:
         """Compile the serving path for the shape a ``n_docs``-request with

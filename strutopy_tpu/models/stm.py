@@ -8,6 +8,7 @@ strutopy_tpu/models/em.py.
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import pickle
@@ -656,6 +657,10 @@ class STM:
             pickle.dump(self.last_bounds, f)
         with open(os.path.join(output_dir, "stm_config.json"), "w") as f:
             f.write(self.config.to_json())
+        # beyond the reference artifact set: the vocabulary, so serving
+        # can encode RAW TEXT against this model (ThetaServer.infer_text)
+        with open(os.path.join(output_dir, "vocab.json"), "w") as f:
+            json.dump(list(self.dictionary), f)
 
     # ------------------------------------------------------------------
     # post-fit analysis (reference stm.py:1151-1259)

@@ -368,3 +368,51 @@ def test_summary_and_check_residuals(toy_corpus, toy_dictionary):
     assert s.count("): ") == 3  # one line per topic
     r = model.check_residuals()
     assert r["dispersion"] > 0 and r["df"] > 0
+
+
+def test_theta_server_raw_text_requests(tmp_path):
+    """End-to-end text serving: build_corpus -> fit -> save -> ThetaServer
+    .infer_text on raw strings (align_corpus encoding, OOV report)."""
+    from strutopy_tpu.corpus.preprocess import build_corpus
+    from strutopy_tpu.models.serving import ThetaServer
+
+    rng = np.random.default_rng(0)
+    themes = (["apple", "banana", "cherry", "grape", "melon"],
+              ["engine", "wheel", "brake", "clutch", "gearbox"])
+    texts = []
+    for i in range(40):
+        words = rng.choice(themes[i % 2], size=25, replace=True)
+        texts.append(" ".join(words))
+    bow, vocab = build_corpus(texts, stopwords=None)
+    model = STM(documents=bow, dictionary=vocab, K=2, model_type="CTM",
+                init_type="spectral", max_em_iter=4, batch_size=8)
+    model.expectation_maximization(saving=True, output_dir=str(tmp_path))
+
+    srv = ThetaServer(str(tmp_path))
+    theta, eta, report = srv.infer_text(
+        ["apple banana cherry xylophone", "engine wheel brake"],
+        stopwords=None,
+    )
+    assert theta.shape == (2, 2)
+    np.testing.assert_allclose(theta.sum(axis=1), 1.0, atol=1e-5)
+    assert report["tokens_dropped"] == 1 and report["oov_types"] == 1
+    # the two requests must land on OPPOSITE topics
+    assert np.argmax(theta[0]) != np.argmax(theta[1])
+    # matches the pre-encoded path exactly
+    theta2, _ = srv.infer(report["bow"])
+    np.testing.assert_array_equal(theta, theta2)
+
+
+def test_theta_server_infer_text_requires_vocab(tmp_path, toy_corpus,
+                                                toy_dictionary):
+    from strutopy_tpu.models.serving import ThetaServer
+
+    model = STM(documents=toy_corpus.train_docs, dictionary=toy_dictionary,
+                K=3, model_type="CTM", init_type="random", max_em_iter=2)
+    model.expectation_maximization(saving=True, output_dir=str(tmp_path))
+    (tmp_path / "vocab.json").unlink()  # reference-style artifact dir
+    import pytest
+
+    srv = ThetaServer(str(tmp_path))
+    with pytest.raises(ValueError, match="vocab.json"):
+        srv.infer_text(["some text"])
