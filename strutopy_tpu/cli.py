@@ -124,7 +124,11 @@ def main(argv=None):
     p = sub.add_parser("infer", help="serve: theta for new docs from saved artifacts")
     p.add_argument("--model-dir", type=str, required=True,
                    help="artifact directory written by `fit`")
-    p.add_argument("--corpus", type=str, required=True, help="pickled BoW docs")
+    p.add_argument("--corpus", type=str, default=None, help="pickled BoW docs")
+    p.add_argument("--text", type=str, default=None,
+                   help="raw-text input instead of --corpus: .json/.jsonl "
+                   "(text field) or one document per line; encoded against "
+                   "the model's saved vocab.json")
     p.add_argument("--X", type=str, default=None, help="covariates .npy for the new docs")
     p.add_argument("--out", type=str, required=True, help="output theta .npy")
 
@@ -234,11 +238,27 @@ def main(argv=None):
         print(json.dumps(results, indent=2))
 
     elif args.cmd == "infer":
-        from strutopy_tpu.models.serving import infer_from_artifacts
-
-        corpus = _load_corpus(args.corpus)
         X = np.load(args.X) if args.X else None
-        theta, _eta = infer_from_artifacts(args.model_dir, corpus, X=X)
+        if (args.corpus is None) == (args.text is None):
+            raise SystemExit("infer needs exactly one of --corpus / --text")
+        if args.text:
+            from strutopy_tpu.models.serving import ThetaServer
+
+            if args.text.endswith((".json", ".jsonl")):
+                from strutopy_tpu.corpus.acquire import load_texts_json
+
+                texts, _ = load_texts_json(args.text)
+            else:
+                with open(args.text) as f:
+                    texts = [ln.rstrip("\n") for ln in f if ln.strip()]
+            theta, _eta, report = ThetaServer(args.model_dir).infer_text(texts, X=X)
+            print(json.dumps({k: report[k] for k in
+                              ("tokens_dropped", "oov_types", "docs_emptied")}))
+        else:
+            from strutopy_tpu.models.serving import infer_from_artifacts
+
+            corpus = _load_corpus(args.corpus)
+            theta, _eta = infer_from_artifacts(args.model_dir, corpus, X=X)
         np.save(args.out, theta)
         print(f"wrote theta {theta.shape} to {args.out}")
 
