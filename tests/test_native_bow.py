@@ -73,3 +73,38 @@ def test_native_bow_stopwords_applied():
     assert "the" not in toks and "and" not in toks
     assert set(toks) == {"fox", "dog"}
     assert "the" in DEFAULT_STOPWORDS
+
+
+def test_native_bow_unicode_fuzz_parity():
+    """Randomized parity: documents assembled from random codepoints
+    across ASCII, punctuation, digits, Latin-1, Greek, CJK, emoji and
+    exotic whitespace must produce IDENTICAL BoW + vocab in both
+    implementations (the contract native/bow.cpp declares)."""
+    rng = np.random.default_rng(42)
+    pools = [
+        [chr(c) for c in range(ord("a"), ord("z") + 1)],
+        [chr(c) for c in range(ord("A"), ord("Z") + 1)],
+        list("0123456789"),
+        list("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"),
+        ["à", "é", "ß", "ñ", "ü", "Æ", "ç", "Ø"],
+        ["α", "β", "Ω", "λ"],
+        ["中", "文", "字"],
+        ["😀", "🚀"],
+        [" ", "\t", "\n", " ", " ", "　"],  # whitespace zoo
+    ]
+    weights = np.array([8, 2, 2, 2, 2, 1, 1, 1, 4], np.float64)
+    weights /= weights.sum()
+    for trial in range(6):
+        texts = []
+        for _ in range(40):
+            n = int(rng.integers(0, 200))
+            pick = rng.choice(len(pools), size=n, p=weights)
+            texts.append("".join(
+                pools[int(j)][int(rng.integers(len(pools[int(j)])))]
+                for j in pick
+            ))
+        for mdf in (1, 2):
+            nat = build_corpus(texts, use_native=True, min_doc_freq=mdf)
+            py = build_corpus(texts, use_native=False, min_doc_freq=mdf)
+            assert list(nat[1]) == list(py[1]), f"vocab diverged (trial {trial})"
+            assert nat[0] == py[0], f"bow diverged (trial {trial}, mdf {mdf})"
