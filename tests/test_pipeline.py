@@ -137,3 +137,42 @@ def test_train_and_eval_heldout_fast(toy_corpus, toy_metadata):
     assert mb is mt  # single fit
     assert ll_fast < 0
     assert abs(ll_fast - ll_slow) < 1.0
+
+
+def test_cli_search_k_and_infer_text(tmp_path, toy_corpus):
+    """CLI smoke: search-k prints the diagnostics table; fit + raw-text
+    infer round-trip through the saved vocab.json."""
+    import json as _json
+    import pickle
+
+    from strutopy_tpu.cli import main
+
+    corpus_path = tmp_path / "c.pickle"
+    with open(corpus_path, "wb") as f:
+        pickle.dump(toy_corpus.documents, f)
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["search-k", "--corpus", str(corpus_path), "--K", "3",
+              "--max-em-iter", "1"])
+    table = _json.loads(buf.getvalue()[buf.getvalue().index("{"):])
+    assert set(table["3"]) >= {"heldout", "dispersion", "coherence"}
+
+    fit_dir = tmp_path / "fit"
+    main(["fit", "--corpus", str(corpus_path), "--K", "3", "--model",
+          "CTM", "--init", "random", "--max-em-iter", "1",
+          "--out", str(fit_dir)])
+    # vocab.json written -> raw-text infer works; toy vocab ids are
+    # synthetic strings, so request those tokens directly
+    vocab = _json.load(open(fit_dir / "vocab.json"))
+    reqs = tmp_path / "reqs.txt"
+    reqs.write_text(" ".join(vocab[:5]) + "\n")
+    theta_path = tmp_path / "theta.npy"
+    main(["infer", "--model-dir", str(fit_dir), "--text", str(reqs),
+          "--out", str(theta_path)])
+    theta = np.load(theta_path)
+    assert theta.shape == (1, 3)
+    np.testing.assert_allclose(theta.sum(axis=1), 1.0, atol=1e-5)
