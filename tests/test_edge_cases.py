@@ -154,3 +154,39 @@ def test_small_vocab_plots(tmp_path):
     plot_topic_words(beta, vocab, path=str(tmp_path / "a.png"))
     plot_word_frequencies(docs, vocab, path=str(tmp_path / "b.png"))
     assert (tmp_path / "a.png").stat().st_size > 0
+
+
+def test_content_model_three_aspects_recovers_markers():
+    """A=3 content model (the reference hardcodes A=2,
+    /root/reference/src/modules/stm.py:749-766): per-aspect marker
+    words planted in a 3-aspect corpus must end up with higher beta
+    mass in their OWN aspect than in the other two."""
+    rng = np.random.default_rng(5)
+    V, K, n = 90, 2, 120
+    aspect = rng.integers(0, 3, n)
+    markers = {a: range(60 + 10 * a, 70 + 10 * a) for a in range(3)}
+    docs = []
+    for i in range(n):
+        p = np.full(V, 1.0)
+        p[list(markers[int(aspect[i])])] += 20.0
+        p /= p.sum()
+        x = rng.multinomial(60, p)
+        ids = np.nonzero(x)[0]
+        docs.append([(int(w), int(x[w])) for w in ids])
+    m = STM(documents=docs, K=K, content=True, A=3, beta_index=aspect,
+            model_type="CTM", init_type="random", max_em_iter=6,
+            batch_size=8)
+    m.expectation_maximization(saving=False)
+    assert np.isfinite(m.last_bounds).all()
+    beta = m.beta  # (3, K, V)
+    assert beta.shape == (3, K, V)
+    for a in range(3):
+        own = beta[a][:, list(markers[a])].sum()
+        others = [beta[b][:, list(markers[a])].sum() for b in range(3) if b != a]
+        assert own > max(others), (a, own, others)
+    # the aspect-aware residual path runs on a real fitted model
+    r = m.check_residuals()
+    assert r["dispersion"] > 0
+    # sage labels cover all three aspects
+    labels = m.sage_labels(n=4)
+    assert len(labels) == 3
