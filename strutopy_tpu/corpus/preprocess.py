@@ -15,6 +15,8 @@ import string
 from collections import Counter
 from typing import Iterable, Optional, Sequence
 
+import numpy as np
+
 from strutopy_tpu.corpus.bow import Vocabulary
 
 # A compact English stopword list (reference uses a bundled
@@ -164,6 +166,7 @@ def align_corpus(
     docs,
     vocab,
     stopwords: Optional[frozenset] = DEFAULT_STOPWORDS,
+    use_native: bool = True,
 ) -> tuple:
     """Encode NEW documents against a fitted model's vocabulary
     (R-stm ``alignCorpus``; absent upstream — the reference can only
@@ -182,6 +185,38 @@ def align_corpus(
     in-vocabulary token left).
     """
     index = {t: i for i, t in enumerate(vocab)}
+    docs = list(docs)
+    if use_native and docs and all(isinstance(d, str) for d in docs):
+        # hot path for raw-text serving: tokenize + count in C++
+        # against a per-request vocabulary, then remap per TYPE (the
+        # python per-token loop caps at ~3k docs/s — below the TPU
+        # bulk-inference rate, so encoding would bottleneck serving)
+        from strutopy_tpu.corpus import native
+
+        res = native.build_bow(docs, stopwords)
+        if res is not None:
+            raw_bow, req_tokens = res
+            remap = np.array(
+                [index.get(t, -1) for t in req_tokens], dtype=np.int64
+            )
+            bow = []
+            tokens_dropped = 0
+            docs_emptied = 0
+            for doc in raw_bow:
+                enc = sorted(
+                    (int(remap[w]), int(c)) for w, c in doc if remap[w] >= 0
+                )
+                tokens_dropped += sum(int(c) for w, c in doc if remap[w] < 0)
+                if doc and not enc:
+                    docs_emptied += 1
+                bow.append(enc)
+            report = {
+                "tokens_dropped": tokens_dropped,
+                "oov_types": int(np.sum(remap < 0)),
+                "docs_emptied": docs_emptied,
+            }
+            return bow, report
+
     bow = []
     tokens_dropped = 0
     oov: set = set()

@@ -231,3 +231,20 @@ def test_plot_search_k_renders(tmp_path):
     }
     plots.plot_search_k(results, path=str(tmp_path / "sk.png"))
     assert (tmp_path / "sk.png").stat().st_size > 0
+
+
+def test_align_corpus_native_matches_python():
+    from strutopy_tpu.corpus.preprocess import align_corpus, build_corpus
+
+    rng = np.random.default_rng(7)
+    words = [f"tok{i}" for i in range(300)] + ["naïve", "café", "中文"]
+    train = [" ".join(rng.choice(words, 40)) for _ in range(50)]
+    _, vocab = build_corpus(train)
+    reqs = [" ".join(rng.choice(words + ["zzz", "qqq"], 30)) for _ in range(80)]
+    reqs.append("the and of")   # all stopwords
+    reqs.append("zzz qqq zzz")  # fully OOV
+    b_nat, r_nat = align_corpus(reqs, vocab, use_native=True)
+    b_py, r_py = align_corpus(reqs, vocab, use_native=False)
+    assert b_nat == b_py
+    assert r_nat == r_py
+    assert r_py["oov_types"] >= 2 and r_py["docs_emptied"] >= 1
