@@ -153,6 +153,32 @@ def main():
         out["online_latency"] = lat
         out["online_latency_server"] = lat_srv
 
+        # Raw-text end-to-end: tokenize + align_corpus (native C++
+        # encode against the model's vocab.json) + infer, the
+        # ThetaServer.infer_text path.  Texts reuse the model's token
+        # strings so OOV is controlled (~2% planted).
+        rng = np.random.default_rng(11)
+        N_TEXT = 10_000
+        toks = np.array(words + ["oovword"])
+        texts = [
+            " ".join(toks[rng.integers(0, len(toks), size=L)])
+            for _ in range(N_TEXT)
+        ]
+        srv.infer_text(texts[:64])  # warm/compile the request shape class
+        t0 = time.time()
+        theta_t, _eta_t, report = srv.infer_text(texts)
+        text_s = time.time() - t0
+        assert theta_t.shape == (N_TEXT, K)
+        assert report["oov_types"] == 1
+        out["raw_text_end_to_end"] = {
+            "n_docs": N_TEXT,
+            "seconds": round(text_s, 2),
+            "docs_per_sec": round(N_TEXT / text_s, 1),
+            "tokens_dropped": report["tokens_dropped"],
+        }
+        print(f"raw text end-to-end: {text_s:.2f}s "
+              f"({N_TEXT / text_s:,.0f} docs/s incl. C++ encode)", flush=True)
+
     path = os.path.join(HERE, "results_serving.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
