@@ -276,6 +276,7 @@ def search_k(
     mesh=None,
     M: int = 10,
     tol: float = 0.01,
+    fast: bool = True,
     **kwargs,
 ):
     """Full per-K diagnostic table (R-stm ``searchK`` analog).
@@ -290,8 +291,10 @@ def search_k(
            "dispersion", "fit_seconds"}}
 
     Heldout uses the fast transform-based document-completion protocol
-    (one fit per K); coherence/exclusivity average over topics on the
-    fitted beta; dispersion scores the training fit's own documents.
+    by default (one fit per K; ``fast=False`` switches to the
+    reference's two-fit protocol); coherence/exclusivity average over
+    topics on the fitted beta; dispersion scores the (full-corpus)
+    beta fit's own documents.
     """
     import time
 
@@ -310,11 +313,11 @@ def search_k(
             init_type=init_type,
             max_em_iter=max_em_iter,
             mesh=mesh,
-            fast=True,
+            fast=fast,
             **kwargs,
         )
-        # model was fit on train + test = all of `documents` (fast
-        # protocol); theta rows are in that user order
+        # model (the beta fit) was trained on train + test = all of
+        # `documents`; its theta rows are in that user order
         beta = model.beta
         beta2d = beta if beta.ndim == 2 else beta.mean(axis=0)
         aspect = model.betaindex if beta.ndim == 3 else None
