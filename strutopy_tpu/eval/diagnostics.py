@@ -40,7 +40,11 @@ def frex(beta: np.ndarray, w: float = 0.5) -> np.ndarray:
     import scipy.special
 
     col_lse = scipy.special.logsumexp(logbeta, axis=0)
-    log_exclusivity = logbeta - col_lse[None, :]
+    with np.errstate(invalid="ignore"):
+        # a word with zero mass in EVERY topic (unsmoothed beta, term
+        # absent from the fit corpus) gives -inf - -inf = nan; its FREX
+        # is meaningless either way and never ranks into top words
+        log_exclusivity = logbeta - col_lse[None, :]
     exclusivity_ecdf = np.apply_along_axis(ecdf, 1, log_exclusivity)
     freq_ecdf = np.apply_along_axis(ecdf, 1, logbeta)
     return 1.0 / (w / exclusivity_ecdf + (1 - w) / freq_ecdf)
