@@ -121,6 +121,21 @@ def main(argv=None):
     p.add_argument("--max-em-iter", type=int, default=10)
     _add_mesh_arg(p)
 
+    p = sub.add_parser("select", help="multi-random-restart selection at fixed K "
+                       "(R-stm selectModel): cast runs, keep the best by bound, "
+                       "report the coherence/exclusivity frontier")
+    p.add_argument("--corpus", type=str, required=True)
+    p.add_argument("--K", type=int, required=True)
+    p.add_argument("--X", type=str, default=None)
+    p.add_argument("--runs", type=int, default=10)
+    p.add_argument("--cast-iters", type=int, default=4)
+    p.add_argument("--keep", type=int, default=None)
+    p.add_argument("--max-em-iter", type=int, default=50)
+    p.add_argument("--seed", type=int, default=123456)
+    p.add_argument("--plot", type=str, default=None,
+                   help="write the plotModels-style frontier figure here")
+    _add_mesh_arg(p)
+
     p = sub.add_parser("infer", help="serve: theta for new docs from saved artifacts")
     p.add_argument("--model-dir", type=str, required=True,
                    help="artifact directory written by `fit`")
@@ -236,6 +251,33 @@ def main(argv=None):
             mesh=_mesh_from_args(args),
         )
         print(json.dumps(results, indent=2))
+
+    elif args.cmd == "select":
+        from strutopy_tpu.pipeline import select_model
+
+        corpus = _load_corpus(args.corpus)
+        X = np.load(args.X) if args.X else None
+        res = select_model(
+            corpus,
+            K=args.K,
+            runs=args.runs,
+            X=X,
+            cast_iters=args.cast_iters,
+            keep=args.keep,
+            max_em_iter=args.max_em_iter,
+            seed=args.seed,
+            mesh=_mesh_from_args(args),
+            return_models=False,
+        )
+        if args.plot:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            from strutopy_tpu.eval.plots import plot_select_model
+
+            plot_select_model(res, path=args.plot)
+        print(json.dumps({k: res[k] for k in ("runs", "kept", "selected")},
+                         indent=2))
 
     elif args.cmd == "infer":
         X = np.load(args.X) if args.X else None

@@ -1,6 +1,7 @@
 from strutopy_tpu.eval.heldout import eval_heldout, eval_heldout_jax, cut_in_half, split_corpus
 from strutopy_tpu.eval.residuals import check_residuals
 from strutopy_tpu.eval.diagnostics import (
+    check_beta,
     ecdf,
     frex,
     label_topics,
@@ -13,11 +14,15 @@ from strutopy_tpu.eval.diagnostics import (
 from strutopy_tpu.eval.perplexity import perplexity
 from strutopy_tpu.eval.graph import topic_correlations, topic_graph
 from strutopy_tpu.eval.effects import (
+    effect_curve,
+    effect_difference,
     estimate_effect,
     estimate_effect_composition,
     estimate_content_effect,
     simulate_theta,
 )
+from strutopy_tpu.eval.ldavis import to_ldavis, model_to_ldavis
+from strutopy_tpu.eval.predict import topic_lasso, plot_topic_lasso
 
 __all__ = [
     "eval_heldout",
@@ -25,6 +30,7 @@ __all__ = [
     "cut_in_half",
     "split_corpus",
     "ecdf",
+    "check_beta",
     "frex",
     "label_topics",
     "find_thoughts",
@@ -39,4 +45,10 @@ __all__ = [
     "estimate_effect_composition",
     "estimate_content_effect",
     "simulate_theta",
+    "effect_curve",
+    "effect_difference",
+    "to_ldavis",
+    "model_to_ldavis",
+    "topic_lasso",
+    "plot_topic_lasso",
 ]

@@ -274,3 +274,38 @@ def plot_topic_quality(beta: np.ndarray, documents, M: int = 10,
     if path:
         fig.savefig(path, bbox_inches="tight")
     return fig
+
+
+def check_beta(beta: np.ndarray, tolerance: float = 0.01, vocab=None):
+    """Degenerate-topic check (R-stm ``checkBeta``): flag words that a
+    topic assigns essentially ALL of its mass (beta[k, v] >= 1 -
+    tolerance) — the signature of a collapsed topic-word distribution
+    (a topic that emits one word), which usually means K is too large
+    or the vocabulary pruning left near-singleton terms.
+
+    ``beta`` is (K, V) or (A, K, V) for a content model (every aspect
+    is checked).  Returns {"ok": bool, "problem": [(aspect, topic,
+    word, prob)], "topic_totals": (K,) flags per topic}.
+    """
+    beta = np.asarray(beta, np.float64)
+    squeeze = beta.ndim == 2
+    if squeeze:
+        beta = beta[None]
+    A, K, V = beta.shape
+    hits = np.argwhere(beta >= 1.0 - tolerance)
+    problem = [
+        (
+            int(a), int(k),
+            (vocab[v] if vocab is not None else str(v)),
+            float(beta[a, k, v]),
+        )
+        for a, k, v in hits
+    ]
+    topic_totals = np.zeros(K, dtype=int)
+    for _a, k, _w, _p in problem:
+        topic_totals[k] += 1
+    return {
+        "ok": len(problem) == 0,
+        "problem": problem,
+        "topic_totals": topic_totals,
+    }

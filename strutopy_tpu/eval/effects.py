@@ -30,9 +30,12 @@ def estimate_effect(
     D, topics = _build_design(D, len(theta), add_intercept), (
         list(range(theta.shape[1])) if topics is None else list(topics)
     )
-    coef, se = _ols_fit(theta, D, topics)
+    coef, se, vcov = _ols_fit(theta, D, topics, return_vcov=True)
     ci = np.stack([coef - 1.96 * se, coef + 1.96 * se], axis=-1)
-    return {"coef": coef, "se": se, "ci": ci, "topics": topics}
+    return {
+        "coef": coef, "se": se, "ci": ci, "topics": topics,
+        "vcov": vcov, "design_means": D.mean(axis=0),
+    }
 
 
 def _build_design(D, N: int, add_intercept: bool) -> np.ndarray:
@@ -46,21 +49,28 @@ def _build_design(D, N: int, add_intercept: bool) -> np.ndarray:
     return D
 
 
-def _ols_fit(theta, D, topics):
-    """Per-topic OLS coef (K_sel, P) and normal-approx se (K_sel, P)."""
+def _ols_fit(theta, D, topics, return_vcov: bool = False):
+    """Per-topic OLS coef (K_sel, P), normal-approx se (K_sel, P) and,
+    optionally, the full coefficient covariance (K_sel, P, P) — the
+    latter is what the continuous/difference effect methods propagate
+    through arbitrary design points."""
     N, P = D.shape
     DtD_inv = np.linalg.pinv(D.T @ D)
     H = DtD_inv @ D.T
-    coefs, ses = [], []
+    coefs, ses, vcovs = [], [], []
     for k in topics:
         y = theta[:, k]
         b = H @ y
         resid = y - D @ b
         dof = max(N - P, 1)
         s2 = float(resid @ resid) / dof
-        se = np.sqrt(np.maximum(np.diagonal(DtD_inv) * s2, 0.0))
+        vcov = DtD_inv * s2
+        se = np.sqrt(np.maximum(np.diagonal(vcov), 0.0))
         coefs.append(b)
         ses.append(se)
+        vcovs.append(vcov)
+    if return_vcov:
+        return np.asarray(coefs), np.asarray(ses), np.asarray(vcovs)
     return np.asarray(coefs), np.asarray(ses)
 
 
@@ -90,6 +100,172 @@ def plot_effect(
     ax.set_yticklabels([f"topic {k}" for k in topics])
     ax.set_xlabel("effect on expected topic proportion")
     ax.set_title("Covariate effect on topic prevalence (95% CI)")
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+    return fig
+
+
+def _design_points(effect: dict, covariate: int, values, at=None):
+    """Design rows varying one coefficient column over ``values`` while
+    holding every other column at the estimation-sample mean (or the
+    ``at`` override, a {column: value} dict)."""
+    means = np.asarray(effect["design_means"], np.float64)
+    values = np.atleast_1d(np.asarray(values, np.float64))
+    if not (0 <= covariate < means.shape[0]):
+        raise ValueError(
+            f"covariate {covariate} out of range for a design with "
+            f"{means.shape[0]} columns (column 0 is the intercept when "
+            "the effect was estimated with add_intercept=True)"
+        )
+    rows = np.tile(means, (len(values), 1))
+    for col, v in (at or {}).items():
+        rows[:, col] = v
+    rows[:, covariate] = values
+    return rows
+
+
+def effect_curve(
+    effect: dict,
+    covariate: int,
+    values,
+    topics: Optional[Sequence[int]] = None,
+    at=None,
+):
+    """Expected topic proportion over a covariate grid with pointwise
+    95% CIs (R-stm ``plot.estimateEffect(method="continuous")``, the
+    evaluation half).
+
+    ``effect`` is an :func:`estimate_effect` /
+    :func:`estimate_effect_composition` result (both carry the full
+    per-topic coefficient covariance).  Other covariates are held at
+    their estimation-sample means; ``at`` ({design column: value})
+    overrides that.  ``covariate`` indexes coefficient columns —
+    column 0 is the intercept when the effect used add_intercept=True.
+
+    Returns {"values", "mean" (K_sel, G), "ci" (K_sel, G, 2), "topics"}.
+    """
+    rows = _design_points(effect, covariate, values, at)
+    values = rows[:, covariate]
+    sel = (
+        list(range(len(effect["topics"]))) if topics is None
+        else [effect["topics"].index(k) for k in topics]
+    )
+    coef = effect["coef"][sel]          # (K_sel, P)
+    vcov = effect["vcov"][sel]          # (K_sel, P, P)
+    mean = coef @ rows.T                # (K_sel, G)
+    var = np.einsum("gp,kpq,gq->kg", rows, vcov, rows)
+    se = np.sqrt(np.maximum(var, 0.0))
+    ci = np.stack([mean - 1.96 * se, mean + 1.96 * se], axis=-1)
+    return {
+        "values": values, "mean": mean, "ci": ci,
+        "topics": [effect["topics"][i] for i in sel],
+    }
+
+
+def effect_difference(
+    effect: dict,
+    covariate: int,
+    v0,
+    v1,
+    topics: Optional[Sequence[int]] = None,
+    at=None,
+):
+    """Per-topic difference in expected proportion between two covariate
+    values (R-stm ``plot.estimateEffect(method="difference")``):
+    r(v1)·b − r(v0)·b with se = sqrt(dᵀ V d), d = r(v1) − r(v0).
+
+    Returns {"diff" (K_sel,), "se", "ci" (K_sel, 2), "topics"}.
+    """
+    rows = _design_points(effect, covariate, [v0, v1], at)
+    d = rows[1] - rows[0]
+    sel = (
+        list(range(len(effect["topics"]))) if topics is None
+        else [effect["topics"].index(k) for k in topics]
+    )
+    coef = effect["coef"][sel]
+    vcov = effect["vcov"][sel]
+    diff = coef @ d
+    se = np.sqrt(np.maximum(np.einsum("p,kpq,q->k", d, vcov, d), 0.0))
+    ci = np.stack([diff - 1.96 * se, diff + 1.96 * se], axis=-1)
+    return {
+        "diff": diff, "se": se, "ci": ci,
+        "topics": [effect["topics"][i] for i in sel],
+        "values": (float(np.asarray(v0).ravel()[0]) if np.ndim(v0) else float(v0),
+                   float(np.asarray(v1).ravel()[0]) if np.ndim(v1) else float(v1)),
+    }
+
+
+def plot_effect_continuous(
+    effect: dict,
+    covariate: int,
+    values,
+    topics: Optional[Sequence[int]] = None,
+    at=None,
+    labels: Optional[Sequence[str]] = None,
+    path: Optional[str] = None,
+):
+    """R-stm ``plot.estimateEffect(method="continuous")``: expected
+    topic proportion vs a continuous covariate, one line + 95% band
+    per topic."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    curve = effect_curve(effect, covariate, values, topics=topics, at=at)
+    fig, ax = plt.subplots(figsize=(7, 5))
+    cmap = plt.get_cmap("tab10")
+    for i, k in enumerate(curve["topics"]):
+        c = cmap(i % 10)
+        name = labels[i] if labels is not None else f"topic {k}"
+        ax.plot(curve["values"], curve["mean"][i], color=c, label=name)
+        ax.fill_between(curve["values"], curve["ci"][i, :, 0],
+                        curve["ci"][i, :, 1], color=c, alpha=0.18)
+    ax.set_xlabel(f"covariate (design column {covariate})")
+    ax.set_ylabel("expected topic proportion")
+    ax.set_title("Topic prevalence vs covariate (95% CI)")
+    ax.legend(loc="best", fontsize=8)
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+    return fig
+
+
+def plot_effect_difference(
+    effect: dict,
+    covariate: int,
+    v0,
+    v1,
+    topics: Optional[Sequence[int]] = None,
+    at=None,
+    labels: Optional[Sequence[str]] = None,
+    path: Optional[str] = None,
+):
+    """R-stm ``plot.estimateEffect(method="difference")``: per-topic
+    change in expected proportion moving the covariate v0 → v1."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    res = effect_difference(effect, covariate, v0, v1, topics=topics, at=at)
+    diff, ci, tps = res["diff"], res["ci"], res["topics"]
+    y = np.arange(len(tps))
+    fig, ax = plt.subplots(figsize=(6, 0.35 * len(tps) + 1))
+    ax.errorbar(
+        diff, y,
+        xerr=np.stack([diff - ci[:, 0], ci[:, 1] - diff]),
+        fmt="o", capsize=3,
+    )
+    ax.axvline(0.0, color="gray", lw=1, ls="--")
+    ax.set_yticks(y)
+    ax.set_yticklabels(
+        labels if labels is not None else [f"topic {k}" for k in tps]
+    )
+    ax.set_xlabel(
+        f"difference in expected proportion ({res['values'][0]:g} → "
+        f"{res['values'][1]:g})"
+    )
+    ax.set_title("Covariate contrast on topic prevalence (95% CI)")
     if path:
         fig.savefig(path, bbox_inches="tight")
     return fig
@@ -228,20 +404,32 @@ def estimate_effect_composition(
     K = thetas.shape[2]
     topics = list(range(K)) if topics is None else list(topics)
 
-    coefs, variances = [], []
+    coefs, vcovs = [], []
     for s in range(n_draws):
-        b, se = _ols_fit(np.asarray(thetas[s], np.float64), D, topics)
+        b, _se, v = _ols_fit(
+            np.asarray(thetas[s], np.float64), D, topics, return_vcov=True
+        )
         coefs.append(b)
-        variances.append(se**2)
+        vcovs.append(v)
     bs = np.stack(coefs)  # (S, K_sel, P)
-    within = np.mean(np.stack(variances), axis=0)
-    between = np.var(bs, axis=0, ddof=1) if n_draws > 1 else np.zeros_like(within)
+    within_v = np.mean(np.stack(vcovs), axis=0)  # (K_sel, P, P)
+    if n_draws > 1:
+        dev = bs - bs.mean(axis=0)  # (S, K_sel, P)
+        between_v = (
+            np.einsum("skp,skq->kpq", dev, dev) / (n_draws - 1)
+        )
+    else:
+        between_v = np.zeros_like(within_v)
+    vcov = within_v + (1.0 + 1.0 / n_draws) * between_v
+    within = np.diagonal(within_v, axis1=1, axis2=2)
+    between = np.diagonal(between_v, axis1=1, axis2=2)
     coef = bs.mean(axis=0)
-    se = np.sqrt(within + (1.0 + 1.0 / n_draws) * between)
+    se = np.sqrt(np.maximum(np.diagonal(vcov, axis1=1, axis2=2), 0.0))
     ci = np.stack([coef - 1.96 * se, coef + 1.96 * se], axis=-1)
     return {
         "coef": coef, "se": se, "ci": ci, "topics": topics,
         "within": within, "between": between, "n_draws": n_draws,
+        "vcov": vcov, "design_means": D.mean(axis=0),
     }
 
 

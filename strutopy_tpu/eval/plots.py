@@ -262,3 +262,68 @@ def plot_search_k(results: Mapping, path: Optional[str] = None):
     if path:
         fig.savefig(path, bbox_inches="tight")
     return fig
+
+
+def plot_select_model(result: Mapping, path: Optional[str] = None):
+    """R-stm ``plotModels``: the semantic-coherence / exclusivity
+    frontier over the kept runs of :func:`pipeline.select_model`.
+
+    Per-topic points are drawn small per run; the run means large with
+    the run index as label, the bound-selected run circled.
+    """
+    plt = _plt()
+    runs = result["runs"]
+    kept = result["kept"]
+    fig, ax = plt.subplots(figsize=(7, 5))
+    cmap = plt.get_cmap("tab10")
+    for j, r in enumerate(kept):
+        row = runs[r]
+        c = cmap(j % 10)
+        ax.scatter(row["semcoh_topics"], row["exclusivity_topics"],
+                   s=12, alpha=0.35, color=c)
+        ax.scatter([row["coherence"]], [row["exclusivity"]],
+                   s=120, color=c, edgecolor="black", zorder=3)
+        ax.annotate(str(r), (row["coherence"], row["exclusivity"]),
+                    ha="center", va="center", fontsize=8, zorder=4)
+        if r == result.get("selected"):
+            ax.scatter([row["coherence"]], [row["exclusivity"]],
+                       s=320, facecolor="none", edgecolor="black",
+                       lw=1.5, zorder=2)
+    ax.set_xlabel("semantic coherence")
+    ax.set_ylabel("exclusivity")
+    ax.set_title("select_model: coherence/exclusivity frontier "
+                 "(small = topics, large = run means)")
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+    return fig
+
+
+def plot_quote(
+    texts: Sequence[str],
+    width: int = 60,
+    maxlen: int = 800,
+    path: Optional[str] = None,
+):
+    """R-stm ``plotQuote``: render example documents (usually the
+    output of ``find_thoughts``) as a text figure for inclusion next to
+    topic summaries."""
+    import textwrap
+
+    plt = _plt()
+    if isinstance(texts, str):
+        texts = [texts]
+    blocks = []
+    for t in texts:
+        t = str(t)
+        if len(t) > maxlen:
+            t = t[: maxlen - 1] + "…"
+        blocks.append(textwrap.fill(t, width=width))
+    body = ("\n" + "—" * width + "\n").join(blocks)
+    n_lines = body.count("\n") + 1
+    fig, ax = plt.subplots(figsize=(0.11 * width + 1, 0.22 * n_lines + 0.8))
+    ax.axis("off")
+    ax.text(0.0, 1.0, body, ha="left", va="top", family="monospace",
+            fontsize=9, wrap=False, transform=ax.transAxes)
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+    return fig

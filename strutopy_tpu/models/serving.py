@@ -25,6 +25,7 @@ def infer_theta(
     cfg,
     aspects_user: Optional[np.ndarray] = None,
     full_convergence: bool = True,
+    mesh=None,
 ):
     """One batched E-step under fixed (beta, sigma) with per-doc prior
     means ``mu_user`` -> (theta, eta) in document order.
@@ -34,7 +35,15 @@ def infer_theta(
     straggler admission — online latency within ~7% of the capped
     training schedule on v5e, RESULTS.md); ``False`` keeps the training
     config's capped budget — up to ~1.8x faster cold bulk scoring, but
-    hard documents beyond the pass-2 cap return their pass-1 eta."""
+    hard documents beyond the pass-2 cap return their pass-1 eta.
+
+    ``mesh`` shards the batch over a document mesh axis for bulk
+    scoring (each device E-steps its shard; per-document Newton is
+    independent, so there are no collectives on the 1-D path — pure
+    data parallelism).  A 2-D docs×vocab mesh additionally keeps beta
+    vocab-sharded, with the E-step's per-chunk beta_doc gather-psum,
+    same as training."""
+    import jax
     import jax.numpy as jnp
 
     from strutopy_tpu.corpus.bow import PaddedCorpus, pad_corpus

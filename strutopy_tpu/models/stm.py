@@ -408,6 +408,51 @@ class STM:
     # fitting
     # ------------------------------------------------------------------
 
+    def reinitialize(self, seed: int) -> "STM":
+        """Re-draw the random initial state under a new seed, keeping
+        the corpus, designs, and the already-compiled EM step.
+
+        Powers :func:`strutopy_tpu.pipeline.select_model`'s
+        multi-restart protocol (R-stm ``selectModel``): every restart
+        flows through the one compiled EM program, so a ``runs=20``
+        sweep costs ~20x one fit's *iterations*, not 20 compiles
+        (2-6 min each through the TPU tunnel).  Only meaningful for
+        ``init_type='random'`` — spectral init is deterministic, so
+        restarts would all coincide.
+        """
+        cfg = self.config
+        if cfg.init_type != "random":
+            raise ValueError(
+                "reinitialize requires init_type='random': spectral "
+                "init is deterministic, so re-seeded restarts would "
+                "all produce the same model"
+            )
+        # normalized Gamma(0.1, 1) rows, same family as __init__
+        np_rng = np.random.RandomState(seed)
+        g = np_rng.gamma(0.1, 1.0, (cfg.K, self.V))
+        beta_init = g / np.maximum(g.sum(axis=1, keepdims=True), 1e-300)
+        state = init_state(
+            jax.random.PRNGKey(seed),
+            K=cfg.K,
+            V=self.V,
+            N=self._state.mu.shape[0],
+            P=self._D_np.shape[1],
+            A=cfg.A,
+            content=cfg.content,
+            beta_init=jnp.asarray(beta_init),
+            kappa_p=self._state.kappa.shape[0],
+        )
+        if self.mesh is not None:
+            from strutopy_tpu.parallel.sharding import shard_state
+
+            state = shard_state(self.mesh, state, cfg.content)
+        self._state = state
+        self.last_bounds = []
+        self.time_processed = None
+        self.docs_per_sec = None
+        self._overflow_warned = False
+        return self
+
     def expectation_maximization(
         self,
         saving: bool = False,
@@ -416,15 +461,21 @@ class STM:
         checkpoint_every: int = 5,
         resume: bool = False,
         profile_dir: Optional[str] = None,
+        start_iter: int = 0,
     ):
         """Run EM until convergence (reference stm.py:855-880).
 
         Beyond the reference: resumable checkpoints (``checkpoint_path``
         + ``resume=True``), per-iteration docs/sec instrumentation, and
         optional ``jax.profiler`` traces (``profile_dir``).
+
+        ``start_iter`` continues a partial fit in place (the state and
+        ``last_bounds`` carry over): iterations run from ``start_iter``
+        to ``config.max_em_iter``, skipping the cold-start warmup
+        switch that already ran.  Used by ``pipeline.select_model`` to
+        run stage-2 survivors onward from their stage-1 state.
         """
         cfg = self.config
-        start_iter = 0
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
             from strutopy_tpu.utils.checkpoint import load_checkpoint
 
@@ -708,6 +759,14 @@ class STM:
         """Per-topic coherence/exclusivity pair (R-stm ``topicQuality``
         axes); plot with :func:`eval.diagnostics.plot_topic_quality`."""
         return diagnostics.topic_quality(self.beta, self._corpus, M=M, w=w)
+
+    def to_ldavis(self, R: int = 30, lambda_step: float = 0.01,
+                  path: Optional[str] = None) -> dict:
+        """LDAvis JSON payload for the standard topic browser (R-stm
+        ``toLDAvis``); see :func:`strutopy_tpu.eval.ldavis.to_ldavis`."""
+        from strutopy_tpu.eval.ldavis import model_to_ldavis
+
+        return model_to_ldavis(self, R=R, lambda_step=lambda_step, path=path)
 
     def check_residuals(self, tol: float = 0.01) -> dict:
         """Multinomial dispersion of the fit's residuals (R-stm

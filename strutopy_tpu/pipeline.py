@@ -334,3 +334,176 @@ def search_k(
         }
         logger.info("search_k: K=%d %s", K, results[int(K)])
     return results
+
+
+def select_model(
+    documents,
+    K: int,
+    runs: int = 10,
+    X=None,
+    cast_iters: int = 4,
+    keep: Optional[int] = None,
+    max_em_iter: int = 50,
+    M: int = 10,
+    seed: int = 123456,
+    mesh=None,
+    return_models: bool = True,
+    **kwargs,
+):
+    """Multi-random-restart model selection at fixed K (R-stm
+    ``selectModel`` analog; beyond the reference, which pins a single
+    seed per fit, src/modules/stm.py:425-428).
+
+    Protocol (R-stm's cast-out schedule): fit ``runs`` random
+    initializations for ``cast_iters`` EM iterations each, keep the
+    top ``keep`` (default ~20%, at least 2) by variational bound, run
+    the survivors on to convergence (``max_em_iter`` total), and score
+    each survivor's per-topic semantic coherence and exclusivity so
+    the user can pick from the interpretability frontier (R-stm
+    ``plotModels``; see :func:`strutopy_tpu.eval.plots.plot_select_model`).
+
+    TPU-first: every restart flows through ONE compiled EM step
+    (:meth:`STM.reinitialize` swaps the random state under the same
+    program), so the whole sweep costs
+    ``runs * cast_iters + keep * (max_em_iter - cast_iters)``
+    iterations of chip time and a single compile — the reference's
+    joblib analog would pay a process + compile per run.
+
+    Returns ``{"runs": [per-run dict], "kept": [run indices],
+    "selected": int, "models": [fitted STM per kept run]}``.  Each
+    per-run dict has the stage-1 ``cast_bound``; kept runs add final
+    ``bound``, ``coherence``/``exclusivity`` (means), and the
+    per-topic arrays.  ``selected`` is the kept run with the best
+    final bound — the frontier data is there to overrule it.
+    """
+    import copy
+
+    from strutopy_tpu.eval.diagnostics import exclusivity, semantic_coherence
+
+    if runs < 1:
+        raise ValueError("runs must be >= 1")
+    if keep is None:
+        keep = max(2, round(0.2 * runs))
+    keep = min(keep, runs)
+    if cast_iters >= max_em_iter:
+        raise ValueError(
+            f"cast_iters ({cast_iters}) must be < max_em_iter "
+            f"({max_em_iter}); stage 2 would have no iterations to run"
+        )
+
+    documents = list(documents)
+    model = STM(
+        documents, K=K, X=X, init_type="random",
+        max_em_iter=max_em_iter, seed=seed, mesh=mesh, **kwargs,
+    )
+    base_cfg = model.config
+    run_seeds = [int(s) for s in
+                 np.random.SeedSequence(seed).generate_state(runs)]
+
+    # stage 1: cast the net — every run gets cast_iters iterations
+    stage1 = []
+    model.config = base_cfg.replace(max_em_iter=cast_iters)
+    for r, rs in enumerate(run_seeds):
+        model.reinitialize(rs)
+        model.expectation_maximization(saving=False)
+        stage1.append((model._state, list(model.last_bounds)))
+        logger.info(
+            "select_model: run %d/%d cast bound %.4f",
+            r + 1, runs, model.last_bounds[-1],
+        )
+
+    order = np.argsort([-b[-1] for _, b in stage1], kind="stable")
+    kept = sorted(int(i) for i in order[:keep])
+
+    results = [
+        {"seed": run_seeds[r], "cast_bound": float(stage1[r][1][-1]),
+         "kept": r in kept}
+        for r in range(runs)
+    ]
+
+    # stage 2: run survivors onward from their stage-1 state
+    model.config = base_cfg
+    models = []
+    for r in kept:
+        model._state, model.last_bounds = stage1[r][0], list(stage1[r][1])
+        model.time_processed = None
+        model.expectation_maximization(saving=False, start_iter=cast_iters)
+        beta = model.beta
+        beta2d = beta if beta.ndim == 2 else beta.mean(axis=0)
+        semcoh = semantic_coherence(beta2d, documents, M=M)
+        excl = exclusivity(beta2d, M=M)
+        results[r].update(
+            bound=float(model.last_bounds[-1]),
+            coherence=float(np.mean(semcoh)),
+            exclusivity=float(np.mean(excl)),
+            semcoh_topics=[float(x) for x in semcoh],
+            exclusivity_topics=[float(x) for x in excl],
+        )
+        logger.info(
+            "select_model: kept run %d final bound %.4f semcoh %.3f "
+            "excl %.3f", r, results[r]["bound"], results[r]["coherence"],
+            results[r]["exclusivity"],
+        )
+        if return_models:
+            # snapshot: a shallow copy owning its own state/bound lists
+            # (the corpus, designs, and compiled step stay shared)
+            snap = copy.copy(model)
+            snap.last_bounds = list(model.last_bounds)
+            models.append(snap)
+
+    selected = kept[int(np.argmax([results[r]["bound"] for r in kept]))]
+    return {
+        "runs": results,
+        "kept": kept,
+        "selected": selected,
+        "models": models,
+    }
+
+
+def many_topics(
+    documents,
+    K_candidates: Sequence[int],
+    runs: int = 10,
+    X=None,
+    cast_iters: int = 4,
+    keep: Optional[int] = None,
+    max_em_iter: int = 50,
+    M: int = 10,
+    seed: int = 123456,
+    mesh=None,
+    return_models: bool = True,
+    **kwargs,
+):
+    """R-stm ``manyTopics`` analog: :func:`select_model` at each K,
+    so the K comparison is over each K's best-of-restarts model rather
+    than one arbitrary seed (the random-init variance that motivates
+    selectModel also contaminates single-seed K sweeps).
+
+    Returns ``{K: {"selected_run", "seed", "bound", "coherence",
+    "exclusivity", "model"}}`` — per-K frontier metrics of the
+    bound-selected survivor.  Use :func:`search_k` when heldout and
+    residual diagnostics should drive the K choice instead.
+    """
+    out = {}
+    for K in K_candidates:
+        res = select_model(
+            documents, K=K, runs=runs, X=X, cast_iters=cast_iters,
+            keep=keep, max_em_iter=max_em_iter, M=M, seed=seed,
+            mesh=mesh, return_models=return_models, **kwargs,
+        )
+        sel = res["selected"]
+        row = res["runs"][sel]
+        out[int(K)] = {
+            "selected_run": sel,
+            "seed": row["seed"],
+            "bound": row["bound"],
+            "coherence": row["coherence"],
+            "exclusivity": row["exclusivity"],
+            "model": (
+                res["models"][res["kept"].index(sel)]
+                if return_models else None
+            ),
+        }
+        logger.info("many_topics: K=%d best run %d bound %.4f", K, sel,
+                    row["bound"])
+    return out

@@ -111,3 +111,33 @@ def test_content_effect_recovers_planted_contrast(tmp_path):
     p = tmp_path / "content_effect.png"
     plot_content_effect(eff, topic_pos=0, path=str(p))
     assert p.exists() and p.stat().st_size > 0
+
+
+def test_check_beta_flags_degenerate_topics():
+    from strutopy_tpu.eval.diagnostics import check_beta
+
+    rng = np.random.default_rng(0)
+    beta = rng.dirichlet(np.ones(20), size=4)
+    res = check_beta(beta)
+    assert res["ok"] and res["problem"] == []
+    # plant a collapsed topic: all mass on word 7
+    beta[2] = 0.0
+    beta[2, 7] = 1.0
+    res = check_beta(beta, vocab=[f"w{v}" for v in range(20)])
+    assert not res["ok"]
+    assert res["problem"] == [(0, 2, "w7", 1.0)]
+    assert res["topic_totals"][2] == 1 and res["topic_totals"].sum() == 1
+    # content-model (A, K, V) form reports the aspect index
+    beta3 = np.stack([rng.dirichlet(np.ones(20), size=4), beta])
+    res = check_beta(beta3)
+    assert [p[:2] for p in res["problem"]] == [(1, 2)]
+
+
+def test_plot_quote_renders(tmp_path):
+    from strutopy_tpu.eval.plots import plot_quote
+
+    fig = plot_quote("a short doc " * 30, path=str(tmp_path / "q1.png"))
+    assert fig is not None and (tmp_path / "q1.png").stat().st_size > 0
+    plot_quote(["first document text", "x" * 2000],
+               maxlen=100, path=str(tmp_path / "q2.png"))
+    assert (tmp_path / "q2.png").stat().st_size > 0

@@ -68,6 +68,110 @@ def test_search_k_full_diagnostics(toy_corpus):
     assert row["dispersion"] > 0 and row["fit_seconds"] > 0
 
 
+def test_select_model_cast_out_protocol(toy_corpus, toy_metadata):
+    """R-stm selectModel analog: runs random restarts, keeps the top
+    fraction by bound, continues survivors, reports the frontier."""
+    res = pipeline.select_model(
+        toy_corpus.documents,
+        K=3,
+        runs=4,
+        X=toy_metadata,
+        cast_iters=2,
+        keep=2,
+        max_em_iter=4,
+        seed=7,
+    )
+    assert len(res["runs"]) == 4
+    assert len(res["kept"]) == 2 and len(res["models"]) == 2
+    assert res["selected"] in res["kept"]
+    cast = [r["cast_bound"] for r in res["runs"]]
+    # the kept runs are exactly the top-2 by stage-1 bound
+    assert sorted(res["kept"]) == sorted(
+        sorted(range(4), key=lambda i: -cast[i])[:2]
+    )
+    for i, r in enumerate(res["runs"]):
+        assert r["kept"] == (i in res["kept"])
+        if r["kept"]:
+            assert np.isfinite(r["bound"])
+            assert len(r["semcoh_topics"]) == 3
+            assert len(r["exclusivity_topics"]) == 3
+        else:
+            assert "bound" not in r
+
+    # continuity: the two-phase (cast + continue) trajectory is the
+    # SAME EM run as a single uninterrupted fit from that seed — the
+    # Laplace bound need not be monotone, but it must be identical
+    sel = res["selected"]
+    from strutopy_tpu.models.stm import STM
+
+    direct = STM(
+        toy_corpus.documents, K=3, X=toy_metadata, init_type="random",
+        max_em_iter=4, seed=res["runs"][sel]["seed"],
+    )
+    direct.expectation_maximization(saving=False)
+    assert direct.last_bounds[-1] == res["runs"][sel]["bound"]
+    # the returned models are independent fitted snapshots
+    m0, m1 = res["models"]
+    assert m0.beta.shape == m1.beta.shape == (3, m0.V)
+    assert not np.allclose(m0.beta, m1.beta)
+    assert float(m0.last_bounds[-1]) == res["runs"][res["kept"][0]]["bound"]
+    # bounds list: cast_iters + continued iterations, one per EM iter
+    assert len(m0.last_bounds) >= 3
+
+    # the frontier plot renders from the result dict
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from strutopy_tpu.eval.plots import plot_select_model
+
+    fig = plot_select_model(res)
+    assert fig is not None
+
+
+def test_select_model_reproducible_and_guards(toy_corpus):
+    r1 = pipeline.select_model(
+        toy_corpus.documents, K=3, runs=2, cast_iters=1, keep=1,
+        max_em_iter=2, seed=11, return_models=False,
+    )
+    r2 = pipeline.select_model(
+        toy_corpus.documents, K=3, runs=2, cast_iters=1, keep=1,
+        max_em_iter=2, seed=11, return_models=False,
+    )
+    assert r1["runs"] == r2["runs"] and r1["models"] == []
+    with pytest.raises(ValueError, match="cast_iters"):
+        pipeline.select_model(
+            toy_corpus.documents, K=3, runs=2, cast_iters=3, max_em_iter=3,
+        )
+
+
+def test_many_topics_selects_per_K_best(toy_corpus):
+    out = pipeline.many_topics(
+        toy_corpus.documents, K_candidates=[3, 4], runs=2, cast_iters=1,
+        keep=1, max_em_iter=2, seed=3,
+    )
+    assert set(out) == {3, 4}
+    for K, row in out.items():
+        assert row["model"].beta.shape[0] == K
+        assert np.isfinite(row["bound"]) and row["coherence"] < 0
+
+
+def test_reinitialize_requires_random_init(toy_corpus):
+    from strutopy_tpu.models.stm import STM
+
+    m = STM(toy_corpus.documents, K=3, init_type="spectral", max_em_iter=1)
+    with pytest.raises(ValueError, match="init_type='random'"):
+        m.reinitialize(1)
+    # random-init model: reinitialize with the construction seed
+    # reproduces the construction state exactly
+    m2 = STM(toy_corpus.documents, K=3, init_type="random",
+             max_em_iter=1, seed=5)
+    beta0 = np.asarray(m2._state.beta).copy()
+    m2.reinitialize(99)
+    assert not np.allclose(np.asarray(m2._state.beta), beta0)
+    m2.reinitialize(5)
+    np.testing.assert_array_equal(np.asarray(m2._state.beta), beta0)
+
+
 def test_fit_model_saves_artifacts(tmp_path, toy_corpus, toy_metadata):
     model = pipeline.fit_model(
         toy_corpus.train_docs,
@@ -102,6 +206,28 @@ def test_cli_synth_and_train_eval(tmp_path):
         "train-eval", "--corpus-dir", str(corpus_dir), "--K", "3",
         "--model", "CTM", "--init", "random", "--max-em-iter", "1",
     ])
+
+
+def test_cli_select_model(tmp_path, toy_corpus):
+    import contextlib
+    import io
+    import json as _json
+
+    from strutopy_tpu.cli import main
+
+    corpus_path = tmp_path / "c.pickle"
+    with open(corpus_path, "wb") as f:
+        pickle.dump(toy_corpus.documents, f)
+    plot_path = tmp_path / "frontier.png"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["select", "--corpus", str(corpus_path), "--K", "3",
+              "--runs", "2", "--cast-iters", "1", "--keep", "1",
+              "--max-em-iter", "2", "--plot", str(plot_path)])
+    out = _json.loads(buf.getvalue()[buf.getvalue().index("{"):])
+    assert len(out["runs"]) == 2 and len(out["kept"]) == 1
+    assert out["selected"] in out["kept"]
+    assert plot_path.exists()
 
 
 def test_preprocess_build_corpus():

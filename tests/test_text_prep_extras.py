@@ -3,6 +3,7 @@
 import json
 
 import numpy as np
+import pytest
 
 from strutopy_tpu.corpus.stem import porter_stem, stem_tokens
 from strutopy_tpu.corpus.ngrams import apply_bigrams, learn_bigrams, ngram_docs
@@ -80,6 +81,56 @@ def test_estimate_effect_recovers_planted_effect():
     # CI excludes zero for planted effects
     assert eff["ci"][0, 1, 0] > 0
     assert eff["ci"][1, 1, 1] < 0
+
+
+def test_effect_curve_and_difference_methods(tmp_path):
+    """R-stm plot.estimateEffect 'continuous'/'difference' analogs:
+    evaluated on a planted linear model, the curve reproduces the
+    analytic line, the difference reproduces the slope times the gap,
+    and the delta-method CI matches the coefficient CI where they
+    coincide (binary 0->1 contrast in a single-covariate design)."""
+    from strutopy_tpu.eval.effects import (
+        effect_curve,
+        effect_difference,
+        plot_effect_continuous,
+        plot_effect_difference,
+    )
+
+    rng = np.random.default_rng(3)
+    N = 600
+    x = rng.normal(size=N)
+    theta = np.zeros((N, 3))
+    theta[:, 0] = 0.3 + 0.10 * x + 0.01 * rng.normal(size=N)
+    theta[:, 1] = 0.4 - 0.05 * x + 0.01 * rng.normal(size=N)
+    theta[:, 2] = 1.0 - theta[:, 0] - theta[:, 1]
+    eff = estimate_effect(theta, x)
+    assert eff["vcov"].shape == (3, 2, 2)
+
+    grid = np.linspace(-2, 2, 9)
+    curve = effect_curve(eff, covariate=1, values=grid)
+    assert curve["mean"].shape == (3, 9)
+    np.testing.assert_allclose(curve["mean"][0], 0.3 + 0.10 * grid, atol=0.01)
+    np.testing.assert_allclose(curve["mean"][1], 0.4 - 0.05 * grid, atol=0.01)
+    # bands are ordered and contain the mean
+    assert np.all(curve["ci"][..., 0] <= curve["mean"])
+    assert np.all(curve["mean"] <= curve["ci"][..., 1])
+
+    diff = effect_difference(eff, covariate=1, v0=0.0, v1=1.0)
+    np.testing.assert_allclose(diff["diff"][0], 0.10, atol=0.01)
+    # a 0->1 contrast IS the slope coefficient: same se
+    np.testing.assert_allclose(diff["se"], eff["se"][:, 1], rtol=1e-10)
+
+    # topic selection + `at` overrides flow through
+    sub = effect_curve(eff, covariate=1, values=[0.0], topics=[2],
+                       at={0: 1.0})
+    assert sub["topics"] == [2] and sub["mean"].shape == (1, 1)
+    with pytest.raises(ValueError, match="out of range"):
+        effect_curve(eff, covariate=5, values=[0.0])
+
+    plot_effect_continuous(eff, 1, grid, path=str(tmp_path / "cont.png"))
+    plot_effect_difference(eff, 1, 0.0, 1.0, path=str(tmp_path / "diff.png"))
+    for f in ("cont.png", "diff.png"):
+        assert (tmp_path / f).stat().st_size > 0
 
 
 def test_new_plots_render(tmp_path):
