@@ -6,10 +6,17 @@ from strutopy_tpu.eval.diagnostics import (
     frex,
     label_topics,
     find_thoughts,
+    find_topic,
     exclusivity,
     semantic_coherence,
     topic_quality,
     plot_topic_quality,
+)
+from strutopy_tpu.eval.align import (
+    align_models,
+    align_topics,
+    plot_alignment,
+    topic_dissimilarity,
 )
 from strutopy_tpu.eval.perplexity import perplexity
 from strutopy_tpu.eval.graph import topic_correlations, topic_graph
@@ -30,8 +37,13 @@ __all__ = [
     "cut_in_half",
     "split_corpus",
     "ecdf",
+    "align_models",
+    "align_topics",
     "check_beta",
+    "find_topic",
     "frex",
+    "plot_alignment",
+    "topic_dissimilarity",
     "label_topics",
     "find_thoughts",
     "exclusivity",

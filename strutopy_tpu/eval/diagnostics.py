@@ -84,6 +84,75 @@ def label_topics(
     return out_prob, out_frex
 
 
+def find_topic(
+    beta: np.ndarray,
+    query: Sequence[str],
+    vocab,
+    n: int = 10,
+    weighting: str = "prob",
+    frexweight: float = 0.5,
+    wcounts: Optional[np.ndarray] = None,
+):
+    """Topics most associated with a set of query words (R-stm
+    ``findTopic``; absent upstream).
+
+    For each topic, every query word gets its within-topic percentile
+    rank under the chosen ``weighting`` matrix — ``"prob"`` (beta),
+    ``"frex"`` (:func:`frex`), or ``"lift"`` (beta over the corpus
+    word-frequency marginal, which needs ``wcounts``, the (V,) corpus
+    word counts) — and the topic's score is the mean percentile over
+    the query.  Percentile ranks (not raw weights) make words of very
+    different corpus frequency commensurable, which is the point of
+    querying by word set.
+
+    ``beta`` is (K, V) or (A, K, V) (content models marginalize
+    aspects, as in :func:`label_topics`).  Unknown query words raise —
+    a silent drop would quietly change the question being asked.
+
+    Returns ``{"topics": (n,) int array (best first), "scores": (n,)
+    mean percentile in [0, 1], "ranks": (n, W) per-word percentiles in
+    query order}``.
+    """
+    beta = np.asarray(beta, np.float64)
+    if beta.ndim == 3:
+        beta = beta.mean(axis=0)
+    K, V = beta.shape
+    if isinstance(query, str):
+        query = [query]
+    if len(query) == 0:
+        raise ValueError("query must contain at least one word")
+    index = {w: i for i, w in enumerate(vocab)}
+    missing = [w for w in query if w not in index]
+    if missing:
+        raise ValueError(f"query words not in vocab: {missing}")
+    cols = np.asarray([index[w] for w in query])
+
+    if weighting == "prob":
+        W = beta
+    elif weighting == "frex":
+        W = frex(beta, w=frexweight)
+    elif weighting == "lift":
+        if wcounts is None:
+            raise ValueError('weighting="lift" needs wcounts (corpus '
+                             "word counts, shape (V,))")
+        marginal = np.asarray(wcounts, np.float64)
+        marginal = marginal / marginal.sum()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            W = beta / marginal[None, :]
+        W = np.where(np.isfinite(W), W, 0.0)
+    else:
+        raise ValueError(f"unknown weighting {weighting!r}: "
+                         'use "prob", "frex" or "lift"')
+
+    # within-topic percentile of each query word (max-rank ECDF, the
+    # same tie convention as frex())
+    pct = np.apply_along_axis(ecdf, 1, W)[:, cols]   # (K, W)
+    scores = pct.mean(axis=1)
+    n = min(n, K)
+    order = np.argsort(-scores, kind="stable")[:n]
+    return {"topics": order, "scores": scores[order], "ranks": pct[order]}
+
+
 def find_thoughts(
     theta: np.ndarray,
     topics: Sequence[int],

@@ -327,3 +327,106 @@ def plot_quote(
     if path:
         fig.savefig(path, bbox_inches="tight")
     return fig
+
+
+def plot_cloud(
+    beta_k: np.ndarray,
+    vocab,
+    max_words: int = 80,
+    min_fontsize: float = 7.0,
+    max_fontsize: float = 44.0,
+    seed: int = 0,
+    path: Optional[str] = None,
+):
+    """R-stm ``cloud``: a word cloud of one topic's distribution, with
+    no wordcloud-package dependency — greedy Archimedean-spiral
+    placement of the top ``max_words`` words, font size proportional to
+    sqrt(beta) (the standard area~probability convention), rectangle
+    collision checks on estimated text extents.
+
+    ``beta_k`` is one topic's (V,) word distribution (e.g.
+    ``model.beta[k]``; for a content model pass an aspect row or the
+    aspect mean).  Returns the figure.
+    """
+    plt = _plt()
+    beta_k = np.asarray(beta_k, np.float64).ravel()
+    order = np.argsort(-beta_k)[:max_words]
+    order = order[beta_k[order] > 0]
+    if order.size == 0:
+        raise ValueError("plot_cloud: the topic row has no positive mass")
+    w = np.sqrt(beta_k[order])
+    sizes = min_fontsize + (max_fontsize - min_fontsize) * (
+        (w - w[-1]) / max(w[0] - w[-1], 1e-12)
+    )
+    rng = np.random.default_rng(seed)
+
+    # text extents in point units: width ~ 0.62 * size * chars (mixed-
+    # case average for DejaVu Sans), height ~ 1.15 * size
+    placed = []  # (x0, y0, x1, y1)
+
+    def collides(box):
+        x0, y0, x1, y1 = box
+        for a0, b0, a1, b1 in placed:
+            if x0 < a1 and a0 < x1 and y0 < b1 and b0 < y1:
+                return True
+        return False
+
+    coords = []
+    for word, size in zip((vocab[i] for i in order), sizes):
+        tw = 0.62 * size * max(len(str(word)), 1)
+        th = 1.15 * size
+        theta0 = float(rng.uniform(0.0, 2 * np.pi))
+        t = 0.0
+        while True:
+            r = 2.2 * t
+            x = r * np.cos(t + theta0)
+            y = 0.62 * r * np.sin(t + theta0)  # wider than tall
+            box = (x - tw / 2, y - th / 2, x + tw / 2, y + th / 2)
+            if not collides(box):
+                placed.append(box)
+                coords.append((x, y, str(word), size))
+                break
+            t += 0.35
+    xs0, ys0, xs1, ys1 = (np.array([b[i] for b in placed]) for i in range(4))
+    fig, ax = plt.subplots(figsize=(8, 5.5))
+    ax.axis("off")
+    ax.set_xlim(xs0.min() - 5, xs1.max() + 5)
+    ax.set_ylim(ys0.min() - 5, ys1.max() + 5)
+    cmap = plt.get_cmap("viridis")
+    smin, smax = sizes.min(), sizes.max()
+    for x, y, word, size in coords:
+        ax.text(x, y, word, ha="center", va="center", fontsize=size,
+                color=cmap(0.15 + 0.7 * (size - smin) / max(smax - smin, 1e-12)))
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+    return fig
+
+
+def plot_theta_hist(
+    theta: np.ndarray,
+    topics: Optional[Sequence[int]] = None,
+    bins: int = 20,
+    path: Optional[str] = None,
+):
+    """R-stm ``plot.STM(type="hist")``: per-topic histograms of the
+    documents' MAP topic proportions — the quick view of whether a
+    topic is broad background mass or concentrated in few documents."""
+    plt = _plt()
+    theta = np.asarray(theta, np.float64)
+    K = theta.shape[1]
+    topics = list(range(K)) if topics is None else list(topics)
+    ncol = min(4, len(topics))
+    nrow = -(-len(topics) // ncol)
+    fig, axes = plt.subplots(nrow, ncol, figsize=(3.2 * ncol, 2.4 * nrow),
+                             squeeze=False, sharex=True)
+    for ax in axes.ravel()[len(topics):]:
+        ax.axis("off")
+    for ax, k in zip(axes.ravel(), topics):
+        ax.hist(theta[:, k], bins=bins, range=(0.0, 1.0),
+                color="#4878d0", edgecolor="white")
+        ax.set_title(f"topic {k}", fontsize=9)
+    fig.suptitle("distribution of document topic proportions")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+    return fig

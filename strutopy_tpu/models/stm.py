@@ -733,6 +733,15 @@ class STM:
     def find_thoughts(self, topics, threshold: float = 0.0, n: int = 3):
         return diagnostics.find_thoughts(self.theta, topics, threshold=threshold, n=n)
 
+    def find_topic(self, query, n: int = 10, weighting: str = "prob",
+                   frexweight: float = 0.5):
+        """Topics most associated with a set of query words (R-stm
+        ``findTopic``; see eval/diagnostics.py::find_topic)."""
+        return diagnostics.find_topic(
+            self.beta, query, self.dictionary, n=n, weighting=weighting,
+            frexweight=frexweight, wcounts=self.wcounts,
+        )
+
     def sage_labels(self, n: int = 7):
         """Per-(aspect, topic) top words of a content model (R-stm
         ``sageLabels`` analogue; see eval/diagnostics.py)."""
