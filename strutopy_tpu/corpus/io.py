@@ -179,3 +179,59 @@ def read_gensim_dictionary(path: str):
     for tok, i in token2id.items():
         tokens[int(i)] = str(tok)
     return Vocabulary(tokens)
+
+
+def read_ldac(path: str, vocab_path: str | None = None):
+    """Read an LDA-C corpus (Blei's lda-c / R-stm ``readCorpus(...,
+    type="ldac")``): one document per line, ``M id:count id:count ...``
+    with 0-based term ids.
+
+    Returns the list-of-(idx, count) document format; with
+    ``vocab_path`` (one token per line, the standard companion file)
+    returns ``(docs, vocab)``.
+    """
+    docs = []
+    with open(path) as f:
+        for lineno, line in enumerate(f, 1):
+            parts = line.split()
+            if not parts:
+                continue
+            try:
+                m = int(parts[0])
+                pairs = [(int(w), int(c)) for w, c in
+                         (p.split(":") for p in parts[1:])]
+            except ValueError as e:
+                raise ValueError(
+                    f"{path}:{lineno}: malformed LDA-C line ({e})") from e
+            if m != len(pairs):
+                raise ValueError(
+                    f"{path}:{lineno}: declared {m} unique terms but "
+                    f"line has {len(pairs)}")
+            if any(w < 0 or c <= 0 for w, c in pairs):
+                raise ValueError(
+                    f"{path}:{lineno}: term ids must be >= 0 and "
+                    "counts positive")
+            docs.append(pairs)
+    if vocab_path is None:
+        return docs
+    with open(vocab_path) as f:
+        vocab = [ln.strip() for ln in f if ln.strip()]
+    return docs, vocab
+
+
+def write_ldac(path: str, corpus, vocab=None, vocab_path: str | None = None) -> None:
+    """Write a BoW corpus (or PaddedCorpus) in LDA-C format; with
+    ``vocab`` also writes the one-token-per-line companion file
+    (default ``<path>.vocab``)."""
+    from strutopy_tpu.corpus.bow import to_bow
+
+    if isinstance(corpus, PaddedCorpus):
+        corpus = to_bow(corpus)
+    with open(path, "w") as f:
+        for doc in corpus:
+            pairs = " ".join(f"{w}:{c}" for w, c in doc)
+            f.write(f"{len(doc)} {pairs}\n" if doc else "0\n")
+    if vocab is not None:
+        with open(vocab_path or path + ".vocab", "w") as f:
+            for tok in vocab:
+                f.write(f"{tok}\n")

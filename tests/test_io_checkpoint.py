@@ -65,3 +65,34 @@ def test_checkpoint_resume(tmp_path, toy_corpus, toy_dictionary, toy_metadata):
     np.testing.assert_allclose(m2b.last_bounds, m1.last_bounds, rtol=1e-5)
     np.testing.assert_allclose(m2b.beta, m1.beta, atol=1e-5)
     np.testing.assert_allclose(m2b.theta, m1.theta, atol=1e-5)
+
+
+def test_ldac_roundtrip(tmp_path):
+    from strutopy_tpu.corpus.io import read_ldac, write_ldac
+
+    docs = [[(0, 2), (5, 1)], [], [(3, 4)]]
+    vocab = [f"w{i}" for i in range(6)]
+    p = tmp_path / "corpus.ldac"
+    write_ldac(str(p), docs, vocab=vocab)
+    back, vback = read_ldac(str(p), vocab_path=str(p) + ".vocab")
+    assert back == docs
+    assert vback == vocab
+    # without vocab: just the docs
+    assert read_ldac(str(p)) == docs
+
+
+def test_ldac_rejects_malformed(tmp_path):
+    import pytest
+
+    from strutopy_tpu.corpus.io import read_ldac
+
+    p = tmp_path / "bad.ldac"
+    p.write_text("2 0:1\n")  # declared 2 pairs, has 1
+    with pytest.raises(ValueError, match="declared 2"):
+        read_ldac(str(p))
+    p.write_text("1 0:abc\n")
+    with pytest.raises(ValueError, match="malformed"):
+        read_ldac(str(p))
+    p.write_text("1 0:0\n")
+    with pytest.raises(ValueError, match="counts positive"):
+        read_ldac(str(p))
