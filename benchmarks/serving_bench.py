@@ -164,19 +164,24 @@ def main():
             " ".join(toks[rng.integers(0, len(toks), size=L)])
             for _ in range(N_TEXT)
         ]
-        srv.infer_text(texts[:64])  # warm/compile the request shape class
+        # the model was fit with prevalence covariates, so new texts
+        # need their X too (reuse the serve draw's covariate rows)
         t0 = time.time()
-        theta_t, _eta_t, report = srv.infer_text(texts)
-        text_s = time.time() - t0
+        theta_t, _eta_t, report = srv.infer_text(texts, X=serve_X[:N_TEXT])
+        cold_s = time.time() - t0          # includes the 10k-shape compile
+        t0 = time.time()
+        theta_t, _eta_t, report = srv.infer_text(texts, X=serve_X[:N_TEXT])
+        text_s = time.time() - t0          # steady state: encode + infer
         assert theta_t.shape == (N_TEXT, K)
         assert report["oov_types"] == 1
         out["raw_text_end_to_end"] = {
             "n_docs": N_TEXT,
+            "cold_seconds": round(cold_s, 2),
             "seconds": round(text_s, 2),
             "docs_per_sec": round(N_TEXT / text_s, 1),
             "tokens_dropped": report["tokens_dropped"],
         }
-        print(f"raw text end-to-end: {text_s:.2f}s "
+        print(f"raw text end-to-end: cold {cold_s:.2f}s, warm {text_s:.2f}s "
               f"({N_TEXT / text_s:,.0f} docs/s incl. C++ encode)", flush=True)
 
     path = os.path.join(HERE, "results_serving.json")
