@@ -430,3 +430,43 @@ def plot_theta_hist(
     if path:
         fig.savefig(path, bbox_inches="tight")
     return fig
+
+
+def plot_topic_summary(
+    theta: np.ndarray,
+    beta: np.ndarray,
+    vocab,
+    topics: Optional[Sequence[int]] = None,
+    n_words: int = 3,
+    path: Optional[str] = None,
+):
+    """R-stm ``plot.STM(type="summary")``: expected topic proportions
+    as horizontal bars sorted largest-first, each annotated with the
+    topic's top words — the standard one-glance model summary."""
+    plt = _plt()
+    theta = np.asarray(theta, np.float64)
+    beta = np.asarray(beta, np.float64)
+    if beta.ndim == 3:
+        beta = beta.mean(axis=0)
+    K = beta.shape[0]
+    topics = list(range(K)) if topics is None else list(topics)
+    share = theta.mean(axis=0)
+    order = sorted(topics, key=lambda k: share[k])  # barh: largest on top
+    words = [
+        ", ".join(str(vocab[i]) for i in np.argsort(-beta[k])[:n_words])
+        for k in order
+    ]
+    fig, ax = plt.subplots(figsize=(7.5, 0.34 * len(order) + 1.2))
+    y = np.arange(len(order))
+    ax.barh(y, share[order], color="#4878d0")
+    ax.set_yticks(y, [f"topic {k}" for k in order], fontsize=8)
+    xmax = float(share[order].max())
+    for yi, k, w in zip(y, order, words):
+        ax.text(share[k] + 0.01 * xmax, yi, w, va="center", fontsize=7.5)
+    ax.set_xlim(0, xmax * 1.55)  # room for the word annotations
+    ax.set_xlabel("expected topic proportion")
+    ax.set_title("top topics")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+    return fig

@@ -164,3 +164,18 @@ def test_stm_find_topic_and_align_on_fitted_models(toy_corpus):
     word = models[0].dictionary[int(np.argmax(models[0].beta[0]))]
     res = models[0].find_topic([word], n=2, weighting="lift")
     assert len(res["topics"]) == 2
+
+
+def test_plot_topic_summary(tmp_path):
+    from strutopy_tpu.eval.plots import plot_topic_summary
+
+    rng = np.random.default_rng(10)
+    beta = _random_beta(K=6, V=40, seed=10)
+    theta = rng.dirichlet(np.ones(6), size=30)
+    vocab = [f"w{i}" for i in range(40)]
+    p = tmp_path / "summary.png"
+    plot_topic_summary(theta, beta, vocab, path=str(p))
+    assert p.exists() and p.stat().st_size > 0
+    # subset + content beta
+    plot_topic_summary(theta, np.stack([beta, beta]), vocab,
+                       topics=[0, 2], path=str(p))
