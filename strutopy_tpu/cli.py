@@ -27,6 +27,14 @@ def _load_corpus(path):
         with open(path) as f:
             return json.load(f)
     if path.endswith(".mm"):
+        # C++ parse+pack when the native lib is available (exact python
+        # parity, tests/test_wiki_real_data.py) — the python loop is the
+        # bulk-serving bottleneck at scale (RESULTS.md serving section)
+        from strutopy_tpu.corpus import native
+
+        pc = native.read_mm_padded(path)
+        if pc is not None:
+            return pc
         # honor the header's declared term count (a dictionary's highest
         # ids may never occur in any document) — same V the native
         # reader uses, so both ingest paths agree on shapes

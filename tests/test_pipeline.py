@@ -302,3 +302,27 @@ def test_cli_search_k_and_infer_text(tmp_path, toy_corpus):
     theta = np.load(theta_path)
     assert theta.shape == (1, 3)
     np.testing.assert_allclose(theta.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_load_corpus_mm_native_matches_python(tmp_path, toy_corpus):
+    """CLI .mm ingest prefers the C++ parser; both paths must yield the
+    same documents (to_bow) and V."""
+    from strutopy_tpu.cli import _load_corpus
+    from strutopy_tpu.corpus import native
+    from strutopy_tpu.corpus.bow import pad_corpus, to_bow
+    from strutopy_tpu.corpus.io import read_mm, write_mm
+
+    p = tmp_path / "c.mm"
+    write_mm(str(p), toy_corpus.documents)
+    loaded = _load_corpus(str(p))
+    bow, V = read_mm(str(p), return_V=True)
+    ref = pad_corpus(bow, V=V)
+    assert loaded.V == ref.V
+    # entry order within a doc is parser-dependent (native preserves
+    # file order, pad_corpus sorts) and semantically irrelevant
+    assert [sorted(d) for d in to_bow(loaded)] == \
+           [sorted(d) for d in to_bow(ref)]
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable: fallback path exercised only")
