@@ -228,9 +228,19 @@ def write_ldac(path: str, corpus, vocab=None, vocab_path: str | None = None) -> 
     if isinstance(corpus, PaddedCorpus):
         corpus = to_bow(corpus)
     with open(path, "w") as f:
-        for doc in corpus:
-            pairs = " ".join(f"{w}:{c}" for w, c in doc)
-            f.write(f"{len(doc)} {pairs}\n" if doc else "0\n")
+        for d, doc in enumerate(corpus):
+            # LDA-C is an integer-count format; PaddedCorpus counts are
+            # float32, so round — but refuse genuinely fractional counts
+            # rather than silently corrupting them
+            pairs = []
+            for w, c in doc:
+                ci = int(round(float(c)))
+                if abs(float(c) - ci) > 1e-6:
+                    raise ValueError(
+                        f"doc {d}: LDA-C requires integer counts, got "
+                        f"{c!r} for term {w}")
+                pairs.append(f"{int(w)}:{ci}")
+            f.write(f"{len(pairs)} {' '.join(pairs)}\n" if pairs else "0\n")
     if vocab is not None:
         with open(vocab_path or path + ".vocab", "w") as f:
             for tok in vocab:

@@ -30,18 +30,11 @@ import numpy as np
 
 
 def _jensen_shannon(P: np.ndarray) -> np.ndarray:
-    """Pairwise Jensen-Shannon divergence between rows (K, V) -> (K, K)."""
-    P = np.asarray(P, np.float64)
-    P = P / P.sum(axis=1, keepdims=True)
-    K = P.shape[0]
-    D = np.zeros((K, K))
-    logP = np.where(P > 0, np.log(np.maximum(P, 1e-300)), 0.0)
-    for i in range(K):
-        M = 0.5 * (P[i][None] + P)  # (K, V)
-        logM = np.log(np.maximum(M, 1e-300))
-        kl_iM = np.sum(P[i][None] * (logP[i][None] - logM), axis=1)
-        kl_jM = np.sum(P * (logP - logM), axis=1)
-        D[i] = 0.5 * (kl_iM + kl_jM)
+    """Pairwise Jensen-Shannon divergence between rows (K, V) -> (K, K)
+    (the shared implementation lives in eval/align.py)."""
+    from strutopy_tpu.eval.align import topic_dissimilarity
+
+    D = topic_dissimilarity(P, P, metric="js")
     np.fill_diagonal(D, 0.0)
     return D
 
@@ -130,13 +123,15 @@ def to_ldavis(
     lambdas = np.arange(0.0, 1.0 + lambda_step / 2, lambda_step)
     tinfo_term, tinfo_cat, tinfo_freq, tinfo_total = [], [], [], []
     tinfo_logprob, tinfo_loglift = [], []
-    # Default overview rows (Freq column holds the saliency rank scale,
-    # as createJSON does: R..1 so the overview bars are sorted)
+    # Default overview rows: Freq/Total carry the term's corpus
+    # frequency (what the "Most Salient Terms" bars draw), while
+    # logprob/loglift hold the saliency rank scale R..1 (createJSON's
+    # convention for keeping the overview sorted)
     for rank, v in enumerate(default_terms):
         tinfo_term.append(str(vocab[v]))
         tinfo_cat.append("Default")
-        tinfo_freq.append(float(R - rank))
-        tinfo_total.append(float(R - rank))
+        tinfo_freq.append(round(float(term_freq[v]), 4))
+        tinfo_total.append(round(float(term_freq[v]), 4))
         tinfo_logprob.append(float(R - rank))
         tinfo_loglift.append(float(R - rank))
     candidates_per_topic = []

@@ -193,16 +193,24 @@ def topic_lasso(
 
     coefs_s, icpts = fit_path(Xs, y)
 
-    # k-fold CV deviance over the same path
+    # k-fold CV deviance over the same lambda path.  Standardization is
+    # per TRAINING fold (cv.glmnet's rule): reusing the full-data
+    # mean/std would leak test-fold statistics into the fit, and a fold
+    # subset of globally-centered columns is no longer mean-zero, which
+    # _cd_gaussian's implicit mean(y)-intercept assumes.
     rng = np.random.default_rng(seed)
     nfolds = int(min(max(nfolds, 2), N))
     fold = rng.permutation(np.arange(N) % nfolds)
     dev = np.zeros((nfolds, nlambda))
     for f in range(nfolds):
         tr, te = fold != f, fold == f
-        cf, ic = fit_path(Xs[tr], y[tr])
+        m_f = X_raw[tr].mean(axis=0)
+        s_f = X_raw[tr].std(axis=0)
+        s_f[s_f == 0] = 1.0
+        cf, ic = fit_path((X_raw[tr] - m_f) / s_f, y[tr])
+        Xte = (X_raw[te] - m_f) / s_f
         for i in range(nlambda):
-            eta = Xs[te] @ cf[i] + ic[i]
+            eta = Xte @ cf[i] + ic[i]
             dev[f, i] = _deviance(family, y[te], eta)
     cv_mean = dev.mean(axis=0)
     cv_se = dev.std(axis=0, ddof=1) / np.sqrt(nfolds)

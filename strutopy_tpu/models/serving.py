@@ -37,12 +37,14 @@ def infer_theta(
     config's capped budget — up to ~1.8x faster cold bulk scoring, but
     hard documents beyond the pass-2 cap return their pass-1 eta.
 
-    ``mesh`` shards the batch over a document mesh axis for bulk
-    scoring (each device E-steps its shard; per-document Newton is
-    independent, so there are no collectives on the 1-D path — pure
-    data parallelism).  A 2-D docs×vocab mesh additionally keeps beta
-    vocab-sharded, with the E-step's per-chunk beta_doc gather-psum,
-    same as training."""
+    ``mesh`` (a 1-D document mesh, ``parallel.mesh.make_mesh``) shards
+    the batch over its document axis for bulk scoring: beta/sigma
+    replicate, the per-bucket document arrays shard, and the jitted
+    E-step runs as pure data parallelism (per-document Newton is
+    independent, so no collectives are semantically required; parity
+    with the single-device path is tested on the virtual CPU mesh).
+    Vocab-sharded (2-D) serving is not supported — serve under a 1-D
+    mesh or slice the vocab shard to a replicated beta first."""
     import jax
     import jax.numpy as jnp
 
@@ -54,6 +56,18 @@ def infer_theta(
     )
     from strutopy_tpu.models.em import CorpusData, local_estep_stats
     from strutopy_tpu.models.state import STMState
+
+    n_dev = 1
+    if mesh is not None:
+        from strutopy_tpu.parallel.mesh import DOC_AXIS, VOCAB_AXIS
+
+        if VOCAB_AXIS in mesh.axis_names and mesh.shape[VOCAB_AXIS] > 1:
+            raise NotImplementedError(
+                "vocab-sharded (2-D mesh) serving is not supported: "
+                "beta stays replicated in infer_theta — pass a 1-D "
+                "document mesh (parallel.mesh.make_mesh)"
+            )
+        n_dev = int(mesh.shape[DOC_AXIS])
 
     V = beta.shape[-1]
     if full_convergence and getattr(cfg, "newton_pass1_iters", 0):
@@ -85,7 +99,7 @@ def infer_theta(
     K = beta.shape[-2]
 
     plan = make_bucket_plan(
-        corpus, cfg.batch_size,
+        corpus, cfg.batch_size, n_devices=n_dev,
         max_buckets=cfg.max_buckets if cfg.auto_bucket else 1,
     )
     buckets = split_corpus_by_plan(corpus, plan)
@@ -118,9 +132,44 @@ def infer_theta(
         opt_iters=jnp.zeros((N_pad,), jnp.int32),
         straggler_overflow=jnp.zeros((), jnp.int32),
     )
-    _stats, eta, theta, _iters = local_estep_stats(
-        state, data, cfg, plan.batch_sizes
-    )
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from strutopy_tpu.parallel.mesh import DOC_AXIS
+
+        def put(x, *spec):
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+        data = CorpusData(
+            words=tuple(put(w, DOC_AXIS, None) for w in data.words),
+            counts=tuple(put(c, DOC_AXIS, None) for c in data.counts),
+            aspects=tuple(put(a, DOC_AXIS) for a in data.aspects),
+            doc_ok=tuple(put(o, DOC_AXIS) for o in data.doc_ok),
+            D=tuple(put(d, DOC_AXIS, None) for d in data.D),
+        )
+        state = STMState(
+            beta=put(state.beta),
+            mu=put(state.mu, DOC_AXIS, None),
+            sigma=put(state.sigma),
+            eta=put(state.eta, DOC_AXIS, None),
+            theta=put(state.theta, DOC_AXIS, None),
+            gamma=put(state.gamma),
+            kappa=put(state.kappa),
+            bound=put(state.bound),
+            opt_iters=put(state.opt_iters, DOC_AXIS),
+            straggler_overflow=put(state.straggler_overflow),
+        )
+        # jit so XLA partitions the whole E-step over the sharded
+        # inputs (the eager path below runs each primitive unsharded)
+        run = jax.jit(
+            lambda s, d: local_estep_stats(s, d, cfg, plan.batch_sizes)
+        )
+        _stats, eta, theta, _iters = run(state, data)
+    else:
+        _stats, eta, theta, _iters = local_estep_stats(
+            state, data, cfg, plan.batch_sizes
+        )
     idx = plan.storage_index[:N_new]
     return np.asarray(theta)[idx], np.asarray(eta)[idx]
 

@@ -385,13 +385,18 @@ def select_model(
     if keep is None:
         keep = max(2, round(0.2 * runs))
     keep = min(keep, runs)
+    if cast_iters < 1:
+        raise ValueError(f"cast_iters ({cast_iters}) must be >= 1")
     if cast_iters >= max_em_iter:
         raise ValueError(
             f"cast_iters ({cast_iters}) must be < max_em_iter "
             f"({max_em_iter}); stage 2 would have no iterations to run"
         )
 
-    documents = list(documents)
+    from strutopy_tpu.corpus.bow import PaddedCorpus
+
+    if not isinstance(documents, PaddedCorpus):
+        documents = list(documents)  # a generator must survive two uses
     model = STM(
         documents, K=K, X=X, init_type="random",
         max_em_iter=max_em_iter, seed=seed, mesh=mesh, **kwargs,
@@ -400,13 +405,19 @@ def select_model(
     run_seeds = [int(s) for s in
                  np.random.SeedSequence(seed).generate_state(runs)]
 
-    # stage 1: cast the net — every run gets cast_iters iterations
+    # stage 1: cast the net — every run gets cast_iters iterations.
+    # States park on HOST between runs: keeping `runs` full device
+    # states alive just to compare scalar bounds would pin runs x
+    # (eta/mu/theta at N_pad x K + beta at K x V) in device memory —
+    # multi-GB at pod scale (see CLAUDE.md's tunnel-worker warning).
+    import jax
+
     stage1 = []
     model.config = base_cfg.replace(max_em_iter=cast_iters)
     for r, rs in enumerate(run_seeds):
         model.reinitialize(rs)
         model.expectation_maximization(saving=False)
-        stage1.append((model._state, list(model.last_bounds)))
+        stage1.append((jax.device_get(model._state), list(model.last_bounds)))
         logger.info(
             "select_model: run %d/%d cast bound %.4f",
             r + 1, runs, model.last_bounds[-1],
@@ -425,7 +436,12 @@ def select_model(
     model.config = base_cfg
     models = []
     for r in kept:
-        model._state, model.last_bounds = stage1[r][0], list(stage1[r][1])
+        state = stage1[r][0]
+        if mesh is not None:  # host arrays -> the mesh's shardings
+            from strutopy_tpu.parallel.sharding import shard_state
+
+            state = shard_state(mesh, state, base_cfg.content)
+        model._state, model.last_bounds = state, list(stage1[r][1])
         model.time_processed = None
         model.expectation_maximization(saving=False, start_iter=cast_iters)
         beta = model.beta

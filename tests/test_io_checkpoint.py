@@ -96,3 +96,19 @@ def test_ldac_rejects_malformed(tmp_path):
     p.write_text("1 0:0\n")
     with pytest.raises(ValueError, match="counts positive"):
         read_ldac(str(p))
+
+
+def test_ldac_float_counts_round_and_fractional_reject(tmp_path):
+    import pytest
+
+    from strutopy_tpu.corpus.bow import pad_corpus
+    from strutopy_tpu.corpus.io import read_ldac, write_ldac
+
+    # PaddedCorpus counts are float32: integral floats must round-trip
+    pc = pad_corpus([[(0, 2), (3, 1)], [(1, 4)]], V=5)
+    p = tmp_path / "f.ldac"
+    write_ldac(str(p), pc)
+    assert read_ldac(str(p)) == [[(0, 2), (3, 1)], [(1, 4)]]
+    # genuinely fractional counts are an error, not silent corruption
+    with pytest.raises(ValueError, match="integer counts"):
+        write_ldac(str(tmp_path / "g.ldac"), [[(0, 2.5)]])

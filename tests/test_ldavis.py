@@ -68,10 +68,20 @@ def test_tinfo_relevance_and_token_table():
     assert "Default" in cats and "Topic1" in cats and "Topic4" in cats
     n_default = sum(1 for c in tinfo["Category"] if c == "Default")
     assert n_default == 8
-    # every topic row's Freq (term-topic tokens) <= Total (term tokens)
-    for c, f, t in zip(tinfo["Category"], tinfo["Freq"], tinfo["Total"]):
+    # every topic row's Freq (term-topic tokens) <= Total (term tokens);
+    # Default rows carry the term's corpus frequency in Freq/Total
+    # (the overview bar widths — NOT the rank scale, which lives in
+    # logprob/loglift as R..1), so Freq == Total there
+    default_ranks = []
+    for c, f, t, lp in zip(tinfo["Category"], tinfo["Freq"],
+                           tinfo["Total"], tinfo["logprob"]):
         if c != "Default":
             assert f <= t + 1e-9
+        else:
+            assert f == t and f > 0
+            default_ranks.append(lp)
+    assert default_ranks == sorted(default_ranks, reverse=True)
+    assert default_ranks[0] == 8.0 and default_ranks[-1] == 1.0
     # token.table shares of one term sum to ~1 over topics
     tt = payload["token.table"]
     by_term = {}

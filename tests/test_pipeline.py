@@ -326,3 +326,26 @@ def test_load_corpus_mm_native_matches_python(tmp_path, toy_corpus):
         import pytest
 
         pytest.skip("native lib unavailable: fallback path exercised only")
+
+
+def test_select_model_padded_corpus_and_mesh(toy_corpus, toy_metadata):
+    """The CLI's .mm loader hands select_model a PaddedCorpus, and under
+    a mesh the stage-2 restore must re-shard the host-parked states —
+    both paths must agree with the plain list-docs/no-mesh run."""
+    from strutopy_tpu.corpus.bow import pad_corpus
+    from strutopy_tpu.parallel.mesh import make_mesh
+
+    kw = dict(K=3, runs=3, X=toy_metadata, cast_iters=2, keep=2,
+              max_em_iter=4, seed=11, return_models=False)
+    base = pipeline.select_model(toy_corpus.documents, **kw)
+    padded = pipeline.select_model(pad_corpus(toy_corpus.documents), **kw)
+    meshed = pipeline.select_model(toy_corpus.documents,
+                                   mesh=make_mesh(2), **kw)
+    for other in (padded, meshed):
+        assert other["kept"] == base["kept"]
+        assert other["selected"] == base["selected"]
+        for a, b in zip(base["runs"], other["runs"]):
+            np.testing.assert_allclose(b["cast_bound"], a["cast_bound"],
+                                       rtol=1e-4)
+            if "bound" in a:
+                np.testing.assert_allclose(b["bound"], a["bound"], rtol=1e-4)

@@ -416,3 +416,42 @@ def test_theta_server_infer_text_requires_vocab(tmp_path, toy_corpus,
     srv = ThetaServer(str(tmp_path))
     with pytest.raises(ValueError, match="vocab.json"):
         srv.infer_text(["some text"])
+
+
+def test_infer_theta_mesh_matches_single_device(toy_corpus, toy_dictionary,
+                                                toy_metadata):
+    """Bulk serving under a 1-D document mesh: same theta/eta as the
+    single-device path (virtual 8-CPU mesh), and 2-D vocab-sharded
+    serving raises the explicit guard."""
+    import pytest
+
+    from strutopy_tpu.models.serving import infer_theta
+    from strutopy_tpu.parallel.mesh import make_mesh, make_mesh_2d
+
+    train = toy_corpus.train_docs
+    model = STM(
+        documents=train, dictionary=toy_dictionary, K=3,
+        X=toy_metadata[: len(train)], max_em_iter=2,
+        init_type="random", model_type="STM",
+    )
+    model.expectation_maximization(saving=False)
+
+    test_docs = toy_corpus.test_docs
+    beta = model.beta.astype(np.float32)
+    sigma = model.sigma.astype(np.float32)
+    gamma = np.asarray(model.gamma, np.float64)
+    D = np.c_[np.ones(len(test_docs)),
+              np.asarray(toy_metadata[len(train): len(train) + len(test_docs)])]
+    mu = (D @ gamma.T).astype(np.float32)
+
+    theta_1, eta_1 = infer_theta(beta, sigma, mu, test_docs, model.config)
+    theta_m, eta_m = infer_theta(beta, sigma, mu, test_docs, model.config,
+                                 mesh=make_mesh(4))
+    # bucket padding may differ (mesh-divisible plan), so chunk
+    # boundaries shift: same documents, float-level tolerance
+    np.testing.assert_allclose(theta_m, theta_1, atol=1e-5)
+    np.testing.assert_allclose(eta_m, eta_1, atol=1e-4)
+
+    with pytest.raises(NotImplementedError, match="vocab-sharded"):
+        infer_theta(beta, sigma, mu, test_docs, model.config,
+                    mesh=make_mesh_2d(2, 2))
