@@ -170,7 +170,18 @@ def infer_theta(
         _stats, eta, theta, _iters = local_estep_stats(
             state, data, cfg, plan.batch_sizes
         )
-    idx = plan.storage_index[:N_new]
+    # local_estep_stats concatenates per-bucket outputs, so under BOTH
+    # paths used here (eager, and jit-with-NamedSharding global
+    # semantics) theta/eta come back bucket-major with docs front-packed
+    # per bucket — matching the gather_per_bucket inputs above.
+    # plan.storage_index is the DEVICE-major layout of the shard_map
+    # training path; it coincides with bucket-major packing only for
+    # n_devices == 1 or a single bucket, so indexing with it under a
+    # mesh silently permuted documents (caught by multichip gate E).
+    offs = np.cumsum([0] + list(plan.sizes))
+    idx = np.empty(N_new, np.int64)
+    for off, ids in zip(offs[:-1], plan.doc_ids):
+        idx[ids] = off + np.arange(len(ids))
     return np.asarray(theta)[idx], np.asarray(eta)[idx]
 
 

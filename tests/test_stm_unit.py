@@ -455,3 +455,41 @@ def test_infer_theta_mesh_matches_single_device(toy_corpus, toy_dictionary,
     with pytest.raises(NotImplementedError, match="vocab-sharded"):
         infer_theta(beta, sigma, mu, test_docs, model.config,
                     mesh=make_mesh_2d(2, 2))
+
+
+def test_infer_theta_mesh_multibucket_matches_single_device():
+    """Regression for the multichip-gate-E bug: with a MULTI-bucket plan
+    and n_devices>1, the mesh serving path runs under jit (global,
+    bucket-major output), while plan.storage_index describes the
+    shard_map training path's device-major layout — de-permuting with
+    the wrong index silently permuted documents past the first device's
+    bucket-0 chunk."""
+    from strutopy_tpu.models.config import STMConfig
+    from strutopy_tpu.models.serving import infer_theta
+    from strutopy_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(7)
+    V = 320
+    docs = []
+    for _ in range(24):  # short docs -> the L=128 bucket
+        ids = rng.choice(120, 10, replace=False)
+        docs.append([(int(i), int(rng.integers(1, 4))) for i in sorted(ids)])
+    for _ in range(24):  # >128 unique terms -> the L=256 bucket
+        ids = rng.choice(V, 140, replace=False)
+        docs.append([(int(i), int(rng.integers(1, 3))) for i in sorted(ids)])
+    # interleave lengths so user order != bucket order
+    order = rng.permutation(len(docs))
+    docs = [docs[i] for i in order]
+
+    K = 4
+    beta = rng.dirichlet(np.ones(V) * 0.1, size=K).astype(np.float32)
+    beta = beta[None]  # (A=1, K, V)
+    sigma = (np.eye(K - 1) * 0.4).astype(np.float32)
+    mu = rng.normal(0, 0.3, (len(docs), K - 1)).astype(np.float32)
+    cfg = STMConfig(K=K, model_type="STM", init_type="random", batch_size=8)
+
+    theta_1, eta_1 = infer_theta(beta, sigma, mu, docs, cfg)
+    theta_m, eta_m = infer_theta(beta, sigma, mu, docs, cfg,
+                                 mesh=make_mesh(4))
+    np.testing.assert_allclose(theta_m, theta_1, atol=1e-5)
+    np.testing.assert_allclose(eta_m, eta_1, atol=1e-4)
