@@ -71,6 +71,13 @@ class STMConfig:
     # finalizes.  0 disables (single-pass while_loop per chunk).
     newton_pass1_iters: int = 0
     newton_straggler_frac: float = 0.3
+    # fuse the finalize (nu/bound/phi) into passes 1 and 2 of the
+    # two-pass schedule (ops/estep.py::_two_pass_fused_estep): removes
+    # pass 3's full beta_doc re-gather at the cost of re-finalizing the
+    # straggler fraction.  Same per-doc Newton trajectories; stats land
+    # in a different f32 summation order.  Ignored when the two-pass
+    # schedule is off.
+    two_pass_fused: bool = False
     # with the two-pass schedule on, run the first N EM iterations on
     # the single-pass graph: cold warm starts leave most docs
     # unconverged at the pass-1 cap, starving the straggler budget

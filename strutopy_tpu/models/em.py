@@ -157,6 +157,7 @@ def local_estep_stats(state: STMState, data: CorpusData, cfg: STMConfig,
             pass1_iters=cfg.newton_pass1_iters,
             straggler_frac=cfg.newton_straggler_frac,
             scan_unroll=cfg.scan_unroll,
+            fused_finalize=cfg.two_pass_fused,
         )
         eta_out, theta_out, iters_out = res.eta, res.theta, res.newton_iters
         if sort:

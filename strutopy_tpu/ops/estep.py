@@ -740,11 +740,163 @@ def _two_pass_estep(
     )
 
 
+def _two_pass_fused_estep(
+    beta, mu, eta0, siginv, sigmaentropy, words, counts, aspects, doc_ok,
+    cfg: NewtonConfig, B: int, pass1_iters: int, straggler_frac: float,
+    vocab_axis, scan_unroll: int = 1,
+) -> EStepResult:
+    """Fused two-pass schedule: the finalize rides the Newton gathers.
+
+    Identical per-doc Newton trajectories to :func:`_two_pass_estep`
+    (pass 1 capped at ``pass1_iters``, stragglers densely regrouped),
+    but nu/bound/phi are computed inside the SAME scan chunk that
+    already holds the gathered ``beta_doc``:
+
+      pass 1    capped Newton + finalize of the docs that CONVERGED;
+      pass 2    straggler Newton + finalize of every doc pass 1 left
+                unfinalized (converged or not — budget exhaustion
+                finalizes at the current eta, like single-pass);
+      fallback  if the straggler budget overflowed (rare — the budget
+                is sized against it), one ``lax.cond``-guarded masked
+                finalize sweep covers the overflow docs at their
+                pass-1 eta.
+
+    vs the unfused schedule this removes pass 3's full (B, K, L)
+    beta_doc re-gather — the third full HBM sweep of the E-step — at
+    the cost of re-finalizing the straggler fraction.  Sufficient
+    statistics accumulate in a different f32 summation order (the same
+    acceptance as two-pass vs single-pass).  The ``lax.cond`` is
+    collective-safe under a 2-D mesh: Newton runs on the
+    vocab-psum-assembled beta_doc, so ``done`` — and hence the
+    predicate — is replicated along the vocab axis, and run_estep has
+    no doc-axis collectives (the doc psum happens in parallel/sharding
+    after it returns), so doc-shard divergence cannot deadlock.
+    """
+    N, L = words.shape
+    C = N // B
+    K = beta.shape[-2]
+    Km1 = K - 1
+
+    def chunked(x):
+        return x.reshape((C, B) + x.shape[1:])
+
+    cfg1 = cfg._replace(max_iters=min(pass1_iters, cfg.max_iters))
+    rest = cfg.max_iters - cfg1.max_iters
+
+    beta_ss0 = jnp.zeros(beta.shape, beta.dtype)
+    sigma_ss0 = jnp.zeros((Km1, Km1), beta.dtype)
+
+    def make_pass(cfg_p, fin_converged_only: bool):
+        def fn(carry, chunk):
+            beta_ss, sigma_ss = carry
+            w, c, mu_c, eta_c, asp, ok, d0 = chunk
+            bd = _gather_beta(beta, w, asp, vocab_axis)
+            bd_loop = bd.astype(jnp.bfloat16) if cfg.bf16_beta else bd
+            eta, it, done = _batched_newton(
+                bd_loop, c, mu_c, eta_c, siginv, cfg_p, done0=d0
+            )
+            # pass 1 finalizes the converged docs; pass 2 finalizes
+            # exactly the docs pass 1 did not (~d0), converged or not
+            fin = (done if fin_converged_only else ~d0) & ok
+            theta, nu, bound_d, phi = _finalize_chunk(
+                eta, bd, c, mu_c, fin.astype(beta.dtype), siginv,
+                sigmaentropy, jnp.sum(c, axis=1),
+                nu_method=cfg.nu_method, chol_block=cfg.chol_block,
+            )
+            beta_ss = _scatter_phi(beta_ss, phi, w, asp, vocab_axis)
+            return (beta_ss, sigma_ss + jnp.sum(nu, axis=0)), (
+                eta, theta, it, done, jnp.sum(bound_d))
+        return fn
+
+    # ----- pass 1: capped Newton + finalize of the converged docs -----
+    (beta_ss, sigma_ss), (eta, theta, iters, done, bounds) = jax.lax.scan(
+        make_pass(cfg1, True),
+        (beta_ss0, sigma_ss0),
+        (chunked(words), chunked(counts), chunked(mu), chunked(eta0),
+         chunked(aspects), chunked(doc_ok), jnp.zeros((C, B), bool)),
+        unroll=scan_unroll,
+    )
+    eta = eta.reshape(N, Km1)
+    theta = theta.reshape(N, K)
+    iters = iters.reshape(N)
+    done = done.reshape(N)
+    bound = jnp.sum(bounds)
+
+    # ----- pass 2: densely packed stragglers + their finalize -----
+    cfg2 = cfg._replace(max_iters=rest)
+    M = min(max(-(-int(straggler_frac * N) // B) * B, B), N)
+    idx = jnp.argsort(done)[:M]
+    selected = jnp.zeros((N,), bool).at[idx].set(True)
+    over = (~done) & (~selected) & doc_ok
+    overflow = jnp.sum(over).astype(jnp.int32)
+    (beta_ss, sigma_ss), (eta2, theta2, it2, _d2, bounds2) = jax.lax.scan(
+        make_pass(cfg2, False),
+        (beta_ss, sigma_ss),
+        (words[idx].reshape(M // B, B, L),
+         counts[idx].reshape(M // B, B, L),
+         mu[idx].reshape(M // B, B, Km1),
+         eta[idx].reshape(M // B, B, Km1),
+         aspects[idx].reshape(M // B, B),
+         doc_ok[idx].reshape(M // B, B),
+         done[idx].reshape(M // B, B)),
+        unroll=scan_unroll,
+    )
+    fin2 = ~done[idx]
+    # eta2 rows of already-converged fillers are frozen by done0, so an
+    # unconditional set matches the unfused schedule bitwise; theta only
+    # overwrites what pass 2 actually finalized (pass-1 rows stay put)
+    eta = eta.at[idx].set(eta2.reshape(M, Km1))
+    theta = theta.at[idx].set(
+        jnp.where(fin2[:, None], theta2.reshape(M, K), theta[idx])
+    )
+    iters = iters.at[idx].add(it2.reshape(M))
+    bound = bound + jnp.sum(bounds2)
+
+    # ----- overflow fallback: finalize budget-overflow docs at their
+    # pass-1 eta (what _two_pass_estep's pass 3 does for them) -----
+    def over_fin(_):
+        def fn(carry, chunk):
+            b_ss, s_ss, bnd = carry
+            w, c, mu_c, eta_c, asp, m = chunk
+            bd = _gather_beta(beta, w, asp, vocab_axis)
+            _th, nu, bound_d, phi = _finalize_chunk(
+                eta_c, bd, c, mu_c, m.astype(beta.dtype), siginv,
+                sigmaentropy, jnp.sum(c, axis=1),
+                nu_method=cfg.nu_method, chol_block=cfg.chol_block,
+            )
+            b_ss = _scatter_phi(b_ss, phi, w, asp, vocab_axis)
+            return (b_ss, s_ss + jnp.sum(nu, axis=0),
+                    bnd + jnp.sum(bound_d)), None
+        (b_ss, s_ss, bnd), _ = jax.lax.scan(
+            fn,
+            (jnp.zeros_like(beta_ss0), sigma_ss0,
+             jnp.zeros((), beta.dtype)),
+            (chunked(words), chunked(counts), chunked(mu), chunked(eta),
+             chunked(aspects), chunked(over)),
+        )
+        return b_ss, s_ss, bnd
+
+    def no_over(_):
+        return (jnp.zeros_like(beta_ss0), sigma_ss0,
+                jnp.zeros((), beta.dtype))
+
+    d_beta, d_sigma, d_bound = jax.lax.cond(overflow > 0, over_fin, no_over, None)
+    return EStepResult(
+        beta_ss=beta_ss + d_beta,
+        sigma_ss=sigma_ss + d_sigma,
+        bound=bound + d_bound,
+        eta=eta,
+        theta=theta,
+        newton_iters=iters,
+        straggler_overflow=overflow,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "batch_size", "use_pallas", "pallas_block", "vocab_axis",
-        "pass1_iters", "straggler_frac", "scan_unroll",
+        "pass1_iters", "straggler_frac", "scan_unroll", "fused_finalize",
     ),
 )
 def run_estep(
@@ -768,6 +920,7 @@ def run_estep(
     pass1_iters: int = 0,
     straggler_frac: float = 0.3,
     scan_unroll: int = 1,
+    fused_finalize: bool = False,
 ) -> EStepResult:
     """E-step over a (shard of a) corpus.
 
@@ -786,6 +939,11 @@ def run_estep(
       pass1_iters: >0 enables the two-pass difficulty schedule
         (:func:`_two_pass_estep`); incompatible with ``use_pallas``
         (the whole-loop kernel owns its own iteration control).
+      fused_finalize: with the two-pass schedule, fuse the finalize
+        into passes 1 and 2 (:func:`_two_pass_fused_estep`), removing
+        pass 3's full beta_doc re-gather.  No-op when pass1_iters is 0
+        or leaves no pass-2 budget (the unfused path already finalizes
+        inline with the only pass there is).
     """
     N, L = words.shape
     B = min(batch_size, N)
@@ -799,7 +957,12 @@ def run_estep(
             "use_pallas (the whole-loop kernel owns its iteration control)"
         )
     if pass1_iters:
-        return _two_pass_estep(
+        impl = (
+            _two_pass_fused_estep
+            if fused_finalize and cfg.max_iters > pass1_iters
+            else _two_pass_estep
+        )
+        return impl(
             beta, mu, eta0, siginv, sigmaentropy, words, counts, aspects,
             doc_ok, cfg, B, pass1_iters, straggler_frac, vocab_axis,
             scan_unroll,

@@ -196,3 +196,88 @@ def test_run_estep_rejects_pallas_plus_two_pass():
     with pytest.raises(ValueError, match="pass1_iters"):
         run_estep(*args, cfg=NewtonConfig(), batch_size=16,
                   pass1_iters=2, use_pallas=True)
+
+
+# ---------------------------------------------------------------------------
+# fused finalize (round 3, ops/estep.py::_two_pass_fused_estep)
+# ---------------------------------------------------------------------------
+
+
+def _args(seed=0, **kw):
+    beta, mu, eta0, sigma, words, counts, aspects, doc_ok = _problem(
+        seed=seed, **kw)
+    siginv, sent = precompute_sigma(jnp.asarray(sigma))
+    return [jnp.asarray(x) for x in (beta, mu, eta0)] + [siginv, sent] + [
+        jnp.asarray(x) for x in (words, counts, aspects, doc_ok)
+    ]
+
+
+def test_fused_matches_unfused_two_pass():
+    """Same Newton trajectories; stats differ only in f32 sum order."""
+    args = _args()
+    cfg = NewtonConfig(max_iters=24)
+    kw = dict(cfg=cfg, batch_size=16, pass1_iters=4, straggler_frac=1.0)
+    two = run_estep(*args, **kw)
+    fused = run_estep(*args, **kw, fused_finalize=True)
+    np.testing.assert_array_equal(np.asarray(fused.eta), np.asarray(two.eta))
+    np.testing.assert_array_equal(
+        np.asarray(fused.newton_iters), np.asarray(two.newton_iters)
+    )
+    assert int(fused.straggler_overflow) == int(two.straggler_overflow) == 0
+    np.testing.assert_allclose(fused.bound, two.bound, rtol=1e-6)
+    np.testing.assert_allclose(fused.beta_ss, two.beta_ss, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(fused.sigma_ss, two.sigma_ss, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(fused.theta, two.theta, rtol=1e-5, atol=1e-7)
+
+
+def test_fused_overflow_fallback_matches_unfused():
+    """Budget overflow: the lax.cond sweep must finalize the overflow
+    docs at their pass-1 eta, exactly like unfused pass 3."""
+    args = _args(seed=1)
+    cfg = NewtonConfig(max_iters=24)
+    kw = dict(cfg=cfg, batch_size=16, pass1_iters=1, straggler_frac=0.01)
+    two = run_estep(*args, **kw)
+    fused = run_estep(*args, **kw, fused_finalize=True)
+    assert int(two.straggler_overflow) > 0
+    assert int(fused.straggler_overflow) == int(two.straggler_overflow)
+    np.testing.assert_array_equal(np.asarray(fused.eta), np.asarray(two.eta))
+    np.testing.assert_allclose(fused.bound, two.bound, rtol=1e-6)
+    np.testing.assert_allclose(fused.beta_ss, two.beta_ss, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(fused.sigma_ss, two.sigma_ss, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(fused.theta, two.theta, rtol=1e-5, atol=1e-7)
+
+
+def test_fused_noop_without_pass2_budget():
+    """pass1_iters >= max_iters leaves no pass-2 budget: fused must
+    delegate to the unfused path (which finalizes inline anyway)."""
+    args = _args(seed=3)
+    cfg = NewtonConfig(max_iters=24)
+    # pass1_iters == max_iters: rest == 0 (direct-caller-only regime)
+    a = run_estep(*args, cfg=cfg, batch_size=16, pass1_iters=24)
+    b = run_estep(*args, cfg=cfg, batch_size=16, pass1_iters=24,
+                  fused_finalize=True)
+    np.testing.assert_array_equal(np.asarray(a.eta), np.asarray(b.eta))
+    np.testing.assert_array_equal(np.asarray(a.bound), np.asarray(b.bound))
+
+
+def test_fused_end_to_end_stm(toy_corpus, toy_dictionary, toy_metadata):
+    train_docs = toy_corpus.train_docs
+    base = dict(K=3, model_type="STM", init_type="random", max_em_iter=3,
+                newton_pass1_iters=5)
+    fits = []
+    for fused in (False, True):
+        m = STM(
+            documents=train_docs,
+            dictionary=toy_dictionary,
+            K=3,
+            X=toy_metadata[: len(train_docs)],
+            config=STMConfig(**base, two_pass_fused=fused),
+        )
+        m.expectation_maximization(saving=False)
+        fits.append(m)
+    np.testing.assert_allclose(
+        np.asarray(fits[1].last_bounds), np.asarray(fits[0].last_bounds),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(fits[1].beta, fits[0].beta, atol=1e-5)
+    np.testing.assert_allclose(fits[1].theta, fits[0].theta, atol=1e-5)

@@ -183,3 +183,58 @@ def test_vocab_sharded_content_model(toy_corpus, toy_dictionary):
 def test_make_mesh_2d_raises_on_insufficient_devices():
     with pytest.raises(ValueError, match="needs 1024 devices"):
         make_mesh_2d(32, 32)
+
+
+@needs8
+def test_vocab_sharded_fused_two_pass(toy_corpus, toy_dictionary, toy_metadata):
+    """Fused finalize under a 2-D mesh: the overflow lax.cond's gather
+    psums over the vocab axis, so the predicate must be replicated
+    along it (Newton runs on the psum-assembled beta_doc — done flags
+    agree across vocab shards); results must match single-device."""
+    from strutopy_tpu.models.config import STMConfig
+
+    kwargs = _fit_kwargs(toy_corpus, toy_dictionary, toy_metadata)
+    cfg = STMConfig(
+        K=3, model_type="STM", init_type="random", max_em_iter=3,
+        newton_pass1_iters=5, newton_straggler_frac=1.0,
+        newton_warmup_iters=0, two_pass_fused=True,
+    )
+    m1 = STM(**kwargs)
+    m1.expectation_maximization(saving=False)
+    mv = STM(**{k: v for k, v in kwargs.items()
+               if k in ("documents", "dictionary", "X")},
+             config=cfg, mesh=make_mesh_2d(2, 4))
+    mv.expectation_maximization(saving=False)
+    np.testing.assert_allclose(
+        np.asarray(mv.last_bounds), np.asarray(m1.last_bounds), rtol=2e-4
+    )
+    np.testing.assert_allclose(mv.beta, m1.beta, atol=2e-4)
+
+
+@needs8
+def test_vocab_sharded_fused_with_overflow(toy_corpus, toy_dictionary,
+                                           toy_metadata):
+    """Force the overflow fallback to actually RUN under the mesh (a
+    1-doc straggler budget at pass1=1): the cond branch's vocab-axis
+    psum must not deadlock, and the fit must match the single-device
+    fit with the identical (overflowing) schedule."""
+    from strutopy_tpu.models.config import STMConfig
+
+    kwargs = _fit_kwargs(toy_corpus, toy_dictionary, toy_metadata)
+    base = dict(
+        K=3, model_type="STM", init_type="random", max_em_iter=2,
+        newton_pass1_iters=1, newton_straggler_frac=0.01,
+        newton_warmup_iters=0, two_pass_fused=True,
+    )
+    m1 = STM(**{k: v for k, v in kwargs.items()
+               if k in ("documents", "dictionary", "X")},
+             config=STMConfig(**base))
+    m1.expectation_maximization(saving=False)
+    mv = STM(**{k: v for k, v in kwargs.items()
+               if k in ("documents", "dictionary", "X")},
+             config=STMConfig(**base), mesh=make_mesh_2d(2, 4))
+    mv.expectation_maximization(saving=False)
+    np.testing.assert_allclose(
+        np.asarray(mv.last_bounds), np.asarray(m1.last_bounds), rtol=2e-4
+    )
+    np.testing.assert_allclose(mv.beta, m1.beta, atol=2e-4)
