@@ -133,18 +133,24 @@ class STM:
             # out-of-core path (models/streaming.py): the corpus stays
             # in host RAM, one part at a time moves to the device(s).
             # With a mesh, every part is document-sharded over it (each
-            # device streams its shard of each part) — 1-D doc meshes
-            # only: the vocab axis has no part-local psum wiring here.
+            # device streams its shard of each part); a 2-D (docs,
+            # vocab) mesh additionally shards beta/kappa/beta_ss over
+            # the vocab axis (streaming.py round-3 extension).
             if mesh is not None:
                 from strutopy_tpu.parallel.mesh import DOC_AXIS, VOCAB_AXIS
 
                 if VOCAB_AXIS in mesh.axis_names:
-                    raise ValueError(
-                        "stream_parts composes with 1-D document meshes; "
-                        "vocab-sharded streaming is not supported"
-                    )
+                    nv = mesh.shape[VOCAB_AXIS]
+                    if corpus.V % nv:
+                        raise ValueError(
+                            f"V={corpus.V} is not divisible by the "
+                            f"{nv}-way vocab mesh axis; pad the "
+                            "vocabulary to a multiple (streamed fits "
+                            "shard beta over the vocab axis too)"
+                        )
                 # bucket sizes must divide evenly into parts AND into
-                # each part's document shards
+                # each part's document shards (the vocab axis replicates
+                # documents, so it does not enter the plan size)
                 n_dev = self._stream_parts * mesh.shape[DOC_AXIS]
             else:
                 n_dev = self._stream_parts

@@ -111,25 +111,32 @@ class StreamedEM:
             # part is itself document-sharded over the mesh — each
             # device streams ITS shard of each part, psumming the
             # part's sufficient statistics once; the host loop over
-            # parts and the replicated M-step are unchanged.
+            # parts and the replicated M-step are unchanged.  On a 2-D
+            # (docs, vocab) mesh, beta/kappa/beta_ss additionally shard
+            # their vocab dimension (parallel/sharding._state_specs):
+            # the E-step assembles beta_doc with one vocab-axis psum
+            # per chunk and scatters phi shard-locally; the part psum
+            # stays DOC-axis-only, and the host-level M-step operates
+            # on the global (vocab-sharded) beta_ss under GSPMD.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from strutopy_tpu.models.em import GlobalStats
-            from strutopy_tpu.parallel.mesh import DOC_AXIS
+            from strutopy_tpu.parallel.mesh import DOC_AXIS, VOCAB_AXIS
+            from strutopy_tpu.parallel.sharding import _state_specs
 
+            vocab_sharded = VOCAB_AXIS in mesh.axis_names
             doc = P(DOC_AXIS)
             rep = P()
-            state_specs = STMState(
-                beta=rep, mu=doc, sigma=rep, eta=doc, theta=doc,
-                gamma=rep, kappa=rep, bound=rep, opt_iters=doc,
-                straggler_overflow=rep,
-            )
+            state_specs = _state_specs(cfg.content, vocab_sharded)
             data_specs = CorpusData.single(doc, doc, doc, doc, doc)
-            stats_specs = GlobalStats(rep, rep, rep, rep, rep, rep)
+            stats_specs = GlobalStats(
+                state_specs.beta, rep, rep, rep, rep, rep
+            )
+            vaxis = VOCAB_AXIS if vocab_sharded else None
 
             def _estep_local(state_p, data_p):
                 stats, eta, theta, iters = local_estep_stats(
-                    state_p, data_p, cfg
+                    state_p, data_p, cfg, vocab_axis=vaxis
                 )
                 stats = GlobalStats(*jax.lax.psum(tuple(stats), DOC_AXIS))
                 return stats, eta, theta, iters

@@ -207,16 +207,59 @@ def test_stm_stream_parts_composes_with_mesh(
     np.testing.assert_allclose(ms.theta, m1.theta, atol=2e-3)
 
 
-def test_stm_stream_parts_rejects_vocab_mesh(toy_corpus, toy_dictionary):
+def test_stm_stream_parts_composes_with_vocab_mesh(
+    toy_corpus, toy_dictionary, toy_metadata
+):
+    """Streaming x 2-D (docs, vocab) mesh (round 3): each device streams
+    its doc shard of every part while beta/beta_ss stay vocab-sharded;
+    the composed fit must match the plain single-device fit."""
     from strutopy_tpu.models.stm import STM
     from strutopy_tpu.parallel.mesh import make_mesh_2d
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 (virtual) devices")
-    with pytest.raises(ValueError, match="vocab"):
+
+    words = list(toy_dictionary)
+    while len(words) % 4:
+        words.append(f"__pad_{len(words)}")
+    train_docs = toy_corpus.train_docs
+    kwargs = dict(
+        documents=train_docs,
+        dictionary=words,
+        K=3,
+        X=toy_metadata[: len(train_docs)],
+        max_em_iter=3,
+        init_type="random",
+        model_type="STM",
+        seed=123456,
+    )
+    m1 = STM(**kwargs)
+    m1.expectation_maximization(saving=False)
+    ms = STM(**kwargs, stream_parts=2, mesh=make_mesh_2d(2, 4))
+    assert ms._data is None
+    ms.expectation_maximization(saving=False)
+    np.testing.assert_allclose(
+        np.asarray(ms.last_bounds), np.asarray(m1.last_bounds), rtol=2e-4
+    )
+    np.testing.assert_allclose(ms.beta, m1.beta, atol=2e-4)
+    np.testing.assert_allclose(ms.theta, m1.theta, atol=2e-3)
+
+
+def test_stm_stream_parts_vocab_mesh_requires_divisible_V(
+    toy_corpus, toy_dictionary
+):
+    from strutopy_tpu.models.stm import STM
+    from strutopy_tpu.parallel.mesh import make_mesh_2d
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    words = list(toy_dictionary)
+    while len(words) % 4 == 0:  # force V % 4 != 0
+        words.append(f"__pad_{len(words)}")
+    with pytest.raises(ValueError, match="divisible"):
         STM(
             documents=toy_corpus.train_docs,
-            dictionary=toy_dictionary,
+            dictionary=words,
             K=3,
             init_type="random",
             stream_parts=2,
