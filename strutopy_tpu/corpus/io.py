@@ -35,15 +35,19 @@ def read_mm(path: str, return_V: bool = False):
         if not header.startswith("%%MatrixMarket"):
             raise ValueError(f"{path} is not a MatrixMarket file")
         line = f.readline()
+        n_comments = 0
         while line.startswith("%"):
             line = f.readline()
+            n_comments += 1
         n_docs, n_terms, nnz = (int(x) for x in line.split())
         if n_docs < 0 or n_terms < 0 or nnz < 0:
             raise ValueError(
                 f"{path}: negative size header {n_docs} x {n_terms}, "
                 f"nnz {nnz}"
             )
-        for lineno, line in enumerate(f, start=3):
+        # data starts after the banner (1), any comment lines, and the
+        # size line — keep reported line numbers physical
+        for lineno, line in enumerate(f, start=3 + n_comments):
             if not line.strip():
                 continue
             i, j, v = line.split()
@@ -75,14 +79,29 @@ def read_mm(path: str, return_V: bool = False):
     return (bow, n_terms) if return_V else bow
 
 
-def write_mm(path: str, corpus) -> None:
-    """Write a BoW corpus (or PaddedCorpus) as Matrix Market."""
+def write_mm(path: str, corpus, n_terms: int | None = None) -> None:
+    """Write a BoW corpus (or PaddedCorpus) as Matrix Market.
+
+    ``n_terms`` declares the vocabulary size in the header; it defaults
+    to a PaddedCorpus's ``V`` (so a round-trip through
+    ``read_mm(return_V=True)`` preserves trailing dictionary ids that
+    never occur in any document) or, for plain BoW lists, to the
+    largest occurring id + 1.
+    """
     from strutopy_tpu.corpus.bow import to_bow
 
     if isinstance(corpus, PaddedCorpus):
+        if n_terms is None:
+            n_terms = corpus.V
         corpus = to_bow(corpus)
     n_docs = len(corpus)
-    n_terms = 1 + max((w for doc in corpus for (w, _) in doc), default=0)
+    max_used = 1 + max((w for doc in corpus for (w, _) in doc), default=0)
+    if n_terms is None:
+        n_terms = max_used
+    elif max_used > n_terms:
+        raise ValueError(
+            f"corpus contains word id {max_used - 1} but n_terms={n_terms}"
+        )
     nnz = sum(len(doc) for doc in corpus)
     with open(path, "w") as f:
         f.write("%%MatrixMarket matrix coordinate real general\n")
@@ -92,25 +111,65 @@ def write_mm(path: str, corpus) -> None:
                 f.write(f"{d + 1} {w + 1} {c}\n")
 
 
+class _BoundUnpickler(pickle.Unpickler):
+    """Restricted unpickler for ``lower_bound.pickle`` (a list of plain
+    floats from this framework; the reference may store numpy scalars).
+    Only numpy's scalar-reconstruction globals are admitted — artifact
+    directories are data, never code (same policy as
+    :class:`_GensimDictUnpickler`)."""
+
+    _ALLOWED = {
+        ("numpy.core.multiarray", "scalar"),
+        ("numpy._core.multiarray", "scalar"),
+        ("numpy", "dtype"),
+        ("numpy", "float64"),
+        ("numpy", "float32"),
+    }
+
+    def find_class(self, module, name):
+        if (module, name) in self._ALLOWED:
+            import importlib
+
+            return getattr(importlib.import_module(module), name)
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle {module}.{name} from lower_bound.pickle: "
+            "model artifacts must not contain arbitrary objects"
+        )
+
+
 def load_model_artifacts(model_dir: str) -> dict:
     """Load a `*_hat.npy` artifact directory (ours or the reference's).
 
     Returns a dict with whatever of beta/theta/sigma/eta/mu/gamma/X/
-    kappa/lower_bound exists.
+    kappa/lower_bound exists.  All files are treated as pure data:
+    ``allow_pickle=False`` for the arrays and a restricted unpickler for
+    the bound trace, so opening a foreign artifact directory can never
+    execute code embedded in it.
     """
     out = {}
     for name in ("beta", "theta", "sigma", "eta", "mu", "gamma", "kappa"):
         p = os.path.join(model_dir, f"{name}_hat.npy")
         if os.path.exists(p):
-            out[name] = np.load(p, allow_pickle=True)
+            out[name] = _load_plain_array(p)
     xp = os.path.join(model_dir, "X.npy")
     if os.path.exists(xp):
-        out["X"] = np.load(xp, allow_pickle=True)
+        out["X"] = _load_plain_array(xp)
     lb = os.path.join(model_dir, "lower_bound.pickle")
     if os.path.exists(lb):
         with open(lb, "rb") as f:
-            out["lower_bound"] = pickle.load(f)
+            out["lower_bound"] = _BoundUnpickler(f).load()
     return out
+
+
+def _load_plain_array(path: str) -> np.ndarray:
+    try:
+        return np.load(path, allow_pickle=False)
+    except ValueError as e:
+        raise ValueError(
+            f"{path} contains pickled Python objects; model artifacts are "
+            "plain numeric arrays (save_model writes them that way) — "
+            "refusing to unpickle"
+        ) from e
 
 
 class _GensimDictStub:

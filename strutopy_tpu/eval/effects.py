@@ -49,14 +49,21 @@ def _build_design(D, N: int, add_intercept: bool) -> np.ndarray:
     return D
 
 
-def _ols_fit(theta, D, topics, return_vcov: bool = False):
+def _ols_fit(theta, D, topics, return_vcov: bool = False, ops=None):
     """Per-topic OLS coef (K_sel, P), normal-approx se (K_sel, P) and,
     optionally, the full coefficient covariance (K_sel, P, P) — the
     latter is what the continuous/difference effect methods propagate
-    through arbitrary design points."""
+    through arbitrary design points.
+
+    ``ops=(DtD_inv, H)`` supplies the design-only factorization, so
+    callers fitting many responses against ONE design (the composition
+    loop) don't re-factor it per fit."""
     N, P = D.shape
-    DtD_inv = np.linalg.pinv(D.T @ D)
-    H = DtD_inv @ D.T
+    if ops is None:
+        DtD_inv = np.linalg.pinv(D.T @ D)
+        H = DtD_inv @ D.T
+    else:
+        DtD_inv, H = ops
     coefs, ses, vcovs = [], [], []
     for k in topics:
         y = theta[:, k]
@@ -271,6 +278,54 @@ def plot_effect_difference(
     return fig
 
 
+_DRAW_CHUNK = None
+
+
+def _draw_chunk_fn():
+    """Lazily-built module-level jit of the posterior-draw chunk kernel.
+
+    Defining the jitted function INSIDE simulate_theta would give every
+    call a fresh function object — a full re-trace (and, without the
+    persistent XLA cache, a multi-minute tunnel compile) per call, plus
+    closure-pinned copies of beta/siginv; one shared callable keyed on
+    shapes + the static return_eta flag compiles once."""
+    global _DRAW_CHUNK
+    if _DRAW_CHUNK is None:
+        import jax
+        import jax.numpy as jnp
+
+        from strutopy_tpu.ops.estep import (
+            _chol_pd_batched,
+            _f_g_H_batched,
+            _pad_eta,
+        )
+
+        def draw_chunk(beta_full, siginv, words, counts, eta_c, mu_c,
+                       asp_c, z, return_eta):
+            K = beta_full.shape[-2]
+            beta_doc = jax.vmap(lambda a, w: beta_full[a][:, w])(asp_c, words)
+            Nd = jnp.sum(counts, axis=1)
+            _f, _g, H, _t, _p = _f_g_H_batched(
+                eta_c, beta_doc, counts, mu_c, siginv, Nd, bf16=False
+            )
+            L = _chol_pd_batched(H)
+            # x = L^{-T} z  =>  cov(x) = L^{-T} L^{-1} = (L L^T)^{-1} = nu;
+            # one batched solve with the S draws as right-hand-side columns
+            x = jax.scipy.linalg.solve_triangular(
+                L, jnp.transpose(z, (1, 2, 0)), lower=True, trans="T"
+            )  # (B, K-1, S)
+            draws = eta_c[None] + jnp.transpose(x, (2, 0, 1))  # (S, B, K-1)
+            if return_eta:
+                return draws
+            S, B = draws.shape[:2]
+            return jax.nn.softmax(
+                _pad_eta(draws.reshape(S * B, K - 1)), axis=-1
+            ).reshape(S, B, K)
+
+        _DRAW_CHUNK = jax.jit(draw_chunk, static_argnames=("return_eta",))
+    return _DRAW_CHUNK
+
+
 def simulate_theta(
     model,
     n_draws: int = 25,
@@ -292,14 +347,7 @@ def simulate_theta(
     input to method-of-composition effect estimation
     (:func:`estimate_effect_composition`).
     """
-    import jax
     import jax.numpy as jnp
-
-    from strutopy_tpu.ops.estep import (
-        _chol_pd_batched,
-        _f_g_H_batched,
-        _pad_eta,
-    )
 
     # Streamed fits (stream_parts>1) also work: the out-of-core driver
     # keeps the corpus host-resident in parts, but the STM-level state
@@ -316,27 +364,8 @@ def simulate_theta(
     )
     N, K = corpus.N, beta.shape[-2]
     beta_full = jnp.asarray(beta if beta.ndim == 3 else beta[None])
-
-    @jax.jit
-    def draw_chunk(words, counts, eta_c, mu_c, asp_c, z):
-        beta_doc = jax.vmap(lambda a, w: beta_full[a][:, w])(asp_c, words)
-        Nd = jnp.sum(counts, axis=1)
-        _f, _g, H, _t, _p = _f_g_H_batched(
-            eta_c, beta_doc, counts, mu_c, jnp.asarray(siginv), Nd, bf16=False
-        )
-        L = _chol_pd_batched(H)
-        # x = L^{-T} z  =>  cov(x) = L^{-T} L^{-1} = (L L^T)^{-1} = nu;
-        # one batched solve with the S draws as right-hand-side columns
-        x = jax.scipy.linalg.solve_triangular(
-            L, jnp.transpose(z, (1, 2, 0)), lower=True, trans="T"
-        )  # (B, K-1, S)
-        draws = eta_c[None] + jnp.transpose(x, (2, 0, 1))  # (S, B, K-1)
-        if return_eta:
-            return draws
-        S, B = draws.shape[:2]
-        return jax.nn.softmax(
-            _pad_eta(draws.reshape(S * B, K - 1)), axis=-1
-        ).reshape(S, B, K)
+    siginv_j = jnp.asarray(siginv)
+    draw_chunk = _draw_chunk_fn()
 
     rng = np.random.default_rng(seed)
     out = np.empty((n_draws, N, K - 1 if return_eta else K), np.float32)
@@ -349,11 +378,13 @@ def simulate_theta(
         counts = np.pad(corpus.counts[sl], ((0, pad), (0, 0)))
         z = rng.standard_normal((n_draws, chunk, K - 1)).astype(np.float32)
         theta_s = draw_chunk(
+            beta_full, siginv_j,
             jnp.asarray(words), jnp.asarray(counts),
             jnp.asarray(np.pad(eta[sl], ((0, pad), (0, 0)))),
             jnp.asarray(np.pad(mu[sl], ((0, pad), (0, 0)))),
             jnp.asarray(np.pad(aspects[sl], (0, pad))),
             jnp.asarray(z),
+            return_eta=return_eta,
         )
         out[:, sl] = np.asarray(theta_s)[:, :B]
     return out
@@ -404,10 +435,14 @@ def estimate_effect_composition(
     K = thetas.shape[2]
     topics = list(range(K)) if topics is None else list(topics)
 
+    # the design is identical across draws: factor it once
+    DtD_inv = np.linalg.pinv(D.T @ D)
+    ops = (DtD_inv, DtD_inv @ D.T)
     coefs, vcovs = [], []
     for s in range(n_draws):
         b, _se, v = _ols_fit(
-            np.asarray(thetas[s], np.float64), D, topics, return_vcov=True
+            np.asarray(thetas[s], np.float64), D, topics, return_vcov=True,
+            ops=ops,
         )
         coefs.append(b)
         vcovs.append(v)
@@ -587,7 +622,12 @@ def permutation_test(
             **stm_kwargs,
         )
         model.expectation_maximization(saving=False)
-        eff = estimate_effect(model.theta, assign)
+        # empty (doc_ok=False) documents keep a uniform 1/K theta no
+        # matter the assignment — regressing those phantom rows against
+        # real treatment values attenuates every run's coefficient
+        # toward zero (same mask estimate_effect_composition applies)
+        ok = np.asarray(model._corpus.doc_ok)
+        eff = estimate_effect(model.theta[ok], assign[ok])
         k = int(np.argmax(np.abs(eff["coef"][:, 1])))
         return {
             "coef": float(eff["coef"][k, 1]),

@@ -17,6 +17,29 @@ from typing import Optional
 import numpy as np
 
 
+_SHARDED_ESTEP = None
+
+
+def _sharded_estep():
+    """Lazily-built module-level jit of ``local_estep_stats`` for the
+    mesh serving path (cfg and bucket batch sizes static).  One shared
+    jitted callable means repeated ``infer_theta(mesh=...)`` calls at
+    identical shapes reuse the compiled executable instead of paying a
+    fresh trace (and, without the persistent XLA cache, a 2-6 min
+    tunnel compile) per call."""
+    global _SHARDED_ESTEP
+    if _SHARDED_ESTEP is None:
+        import jax
+
+        from strutopy_tpu.models.em import local_estep_stats
+
+        _SHARDED_ESTEP = jax.jit(
+            local_estep_stats,
+            static_argnames=("cfg", "bucket_batches", "vocab_axis"),
+        )
+    return _SHARDED_ESTEP
+
+
 def infer_theta(
     beta: np.ndarray,
     sigma: np.ndarray,
@@ -161,11 +184,13 @@ def infer_theta(
             straggler_overflow=put(state.straggler_overflow),
         )
         # jit so XLA partitions the whole E-step over the sharded
-        # inputs (the eager path below runs each primitive unsharded)
-        run = jax.jit(
-            lambda s, d: local_estep_stats(s, d, cfg, plan.batch_sizes)
+        # inputs (the eager path below runs each primitive unsharded);
+        # module-level jit of local_estep_stats itself (cfg/batch sizes
+        # static) so repeat calls at the same shapes hit the trace
+        # cache — a fresh lambda per call would re-trace every time
+        _stats, eta, theta, _iters = _sharded_estep()(
+            state, data, cfg=cfg, bucket_batches=tuple(plan.batch_sizes)
         )
-        _stats, eta, theta, _iters = run(state, data)
     else:
         _stats, eta, theta, _iters = local_estep_stats(
             state, data, cfg, plan.batch_sizes
@@ -212,13 +237,31 @@ def _load_params(model_dir: str):
     beta = np.asarray(art["beta"], np.float32)
     sigma = np.asarray(art["sigma"], np.float32)
     eta = art.get("eta")
-    eta_mean = None if eta is None else np.asarray(eta).mean(axis=0)
+    if eta is None:
+        eta_mean = None
+    else:
+        eta = np.asarray(eta)
+        # exclude empty (doc_ok=False) documents: the masked E-step
+        # leaves their eta frozen at exactly 0, and STM.transform's CTM
+        # prior mean averages over REAL docs only (models/stm.py) —
+        # artifacts don't record doc_ok, but an exactly-all-zero row
+        # identifies one (a real converged eta is never exactly 0 in
+        # every coordinate)
+        real = ~(eta == 0.0).all(axis=1)
+        eta_mean = eta[real].mean(axis=0) if real.any() else eta.mean(axis=0)
     return beta, sigma, art.get("gamma"), eta_mean, cfg
 
 
 def _prior_means(gamma, eta_mean, cfg, K: int, N_new: int, X) -> np.ndarray:
     """Per-document prior means mu (N_new, K-1) from the fitted prevalence
     model (or its fallbacks), matching STM.transform's semantics."""
+    if X is not None and gamma is None:
+        raise ValueError(
+            "X was passed but the model has no prevalence regression "
+            "(no gamma_hat in the artifacts — a CTM or covariate-free "
+            "fit); its theta priors come from the fitted eta mean, so X "
+            "cannot be used"
+        )
     if gamma is not None and X is not None:
         Xa = np.asarray(X, np.float64)
         if Xa.ndim == 1:
@@ -231,7 +274,18 @@ def _prior_means(gamma, eta_mean, cfg, K: int, N_new: int, X) -> np.ndarray:
             D = np.c_[np.ones(N_new), Xa]
         elif Xa.shape[1] == P:
             # no-intercept fit, or the caller already included the
-            # intercept column
+            # intercept column — for an intercept-included fit the
+            # first column MUST then be the constant 1, or gamma's
+            # intercept coefficient would be scaled by covariate values
+            # (silently garbage theta for e.g. an intercept-only model
+            # handed a 1-column covariate X)
+            if cfg.fit_intercept and not np.allclose(Xa[:, 0], 1.0):
+                raise ValueError(
+                    f"X has {Xa.shape[1]} column(s), matching the full "
+                    f"{P}-column design of an intercept-included fit, but "
+                    "its first column is not the constant 1 — pass X "
+                    "WITHOUT the intercept column (it is prepended here)"
+                )
             D = Xa
         else:
             raise ValueError(
@@ -372,7 +426,16 @@ class ThetaServer:
                                              replace=False)]
             for _ in range(n_docs)
         ]
-        P = None if self._gamma is None else self._gamma.shape[1]
-        X = None if P is None or P <= 1 else np.zeros((n_docs, P - 1))
+        if self._gamma is None:
+            X = None
+        else:
+            P = self._gamma.shape[1]
+            if self.cfg.fit_intercept:
+                # intercept prepended by _prior_means -> P-1 covariate
+                # columns (intercept-only fits take no X at all)
+                X = None if P <= 1 else np.zeros((n_docs, P - 1))
+            else:
+                # no-intercept fit: the design IS the covariates
+                X = np.zeros((n_docs, P))
         aspects = np.zeros(n_docs, np.int32) if self.content else None
         self.infer(docs, X=X, beta_index=aspects)

@@ -21,6 +21,76 @@ def test_mm_handles_empty_docs(tmp_path):
     assert read_mm(p) == corpus
 
 
+def test_mm_roundtrip_preserves_padded_corpus_vocab(tmp_path):
+    """Regression: write_mm inferred n_terms from the max OCCURRING id,
+    so a PaddedCorpus whose highest dictionary ids never occur came back
+    with a shrunken V — misaligning any refit against the dictionary."""
+    from strutopy_tpu.corpus.bow import pad_corpus
+
+    pc = pad_corpus([[(0, 2)], [(3, 1)]], V=10)
+    p = str(tmp_path / "c.mm")
+    write_mm(p, pc)
+    _docs, V = read_mm(p, return_V=True)
+    assert V == 10
+    # explicit n_terms smaller than an occurring id must error
+    import pytest
+
+    with pytest.raises(ValueError, match="n_terms"):
+        write_mm(str(tmp_path / "d.mm"), [[(7, 1)]], n_terms=5)
+
+
+def test_mm_corruption_reports_physical_line_numbers(tmp_path):
+    """Comment lines between header and size line must not shift the
+    reported line number of a corrupt entry."""
+    import pytest
+
+    p = tmp_path / "c.mm"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "% a comment\n"
+        "% another\n"
+        "2 3 2\n"
+        "1 1 1\n"
+        "9 1 1\n"  # physical line 6, doc id out of range
+    )
+    with pytest.raises(ValueError, match=r"c\.mm:6"):
+        read_mm(str(p))
+
+
+def test_artifact_loading_refuses_embedded_objects(tmp_path):
+    """Model artifact directories are pure data: a pickled-object .npy
+    or a pickle smuggling a non-numeric global must be refused, never
+    executed."""
+    import pickle
+
+    import pytest
+
+    d = tmp_path / "m"
+    d.mkdir()
+    np.save(d / "beta_hat.npy", np.ones((3, 5), np.float32))
+    np.save(d / "sigma_hat.npy", np.eye(2, dtype=np.float32))
+    # a list of plain floats (what save_model writes) loads fine
+    with open(d / "lower_bound.pickle", "wb") as f:
+        pickle.dump([-10.0, -9.5], f)
+    art = load_model_artifacts(str(d))
+    assert art["lower_bound"] == [-10.0, -9.5]
+    # numpy float64 scalars (what the reference pickles) load fine too
+    with open(d / "lower_bound.pickle", "wb") as f:
+        pickle.dump([np.float64(-10.0)], f)
+    assert float(load_model_artifacts(str(d))["lower_bound"][0]) == -10.0
+    # a pickle carrying an arbitrary global is refused
+    with open(d / "lower_bound.pickle", "wb") as f:
+        pickle.dump(type("E", (), {"__reduce__": lambda s: (print, ("x",))})(), f)
+    with pytest.raises(pickle.UnpicklingError, match="refusing"):
+        load_model_artifacts(str(d))
+    (d / "lower_bound.pickle").unlink()
+    # an object-array .npy is refused with a clear message
+    np.save(d / "theta_hat.npy", np.array([{"a": 1}], dtype=object),
+            allow_pickle=True)
+    with pytest.raises(ValueError, match="pickled Python objects"):
+        load_model_artifacts(str(d))
+
+
 def test_load_reference_artifacts_if_present():
     """Read the reference's committed K=50 wiki artifacts (data fixtures,
     not code) and sanity-check our eval stack against their scale."""

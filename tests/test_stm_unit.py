@@ -315,6 +315,88 @@ def test_serving_prior_rejects_missing_intercept_when_fit_without():
     assert mu.shape == (4, 2)
 
 
+def test_serving_prior_rejects_covariate_posing_as_full_design():
+    """Regression: an intercept-included fit handed a P-column X whose
+    first column is NOT the constant 1 silently scaled the intercept
+    coefficient by covariate values (garbage theta, no error) — the
+    classic case being an intercept-only model (P=1) passed a 1-column
+    covariate X."""
+    import pytest
+
+    from strutopy_tpu.models.config import STMConfig
+    from strutopy_tpu.models.serving import _prior_means
+
+    cfg = STMConfig(K=3, fit_intercept=True)
+    # intercept-only fit (P=1): a covariate X must be rejected
+    gamma1 = np.ones((2, 1))
+    with pytest.raises(ValueError, match="constant 1"):
+        _prior_means(gamma1, None, cfg, K=3, N_new=4, X=np.arange(4.0))
+    # an explicit intercept column of ones is accepted
+    mu = _prior_means(gamma1, None, cfg, K=3, N_new=4, X=np.ones((4, 1)))
+    np.testing.assert_allclose(mu, np.ones((4, 2)))
+    # general P: full-width design with a non-constant first column
+    gamma3 = np.ones((2, 3))
+    with pytest.raises(ValueError, match="constant 1"):
+        _prior_means(gamma3, None, cfg, K=3, N_new=4,
+                     X=np.arange(12.0).reshape(4, 3))
+
+
+def test_serving_prior_rejects_X_without_gamma():
+    """X passed for a model with no prevalence regression (no gamma_hat,
+    e.g. a CTM) must raise, not be silently ignored."""
+    import pytest
+
+    from strutopy_tpu.models.config import STMConfig
+    from strutopy_tpu.models.serving import _prior_means
+
+    cfg = STMConfig(K=3, model_type="CTM")
+    with pytest.raises(ValueError, match="no prevalence regression"):
+        _prior_means(None, np.zeros(2), cfg, K=3, N_new=4, X=np.ones((4, 1)))
+
+
+def test_theta_server_warmup_no_intercept_fit(tmp_path, toy_corpus,
+                                              toy_dictionary, toy_metadata):
+    """Regression: warmup always built a (P-1)-column X, which
+    _prior_means correctly rejects for fit_intercept=False models —
+    warmup crashed on every no-intercept fit."""
+    from strutopy_tpu.models.serving import ThetaServer
+
+    from strutopy_tpu.models.config import STMConfig
+
+    train = toy_corpus.train_docs
+    cfg = STMConfig(K=3, max_em_iter=2, init_type="random",
+                    model_type="STM", fit_intercept=False)
+    model = STM(
+        documents=train, dictionary=toy_dictionary, K=3,
+        X=toy_metadata[: len(train)], config=cfg,
+    )
+    model.expectation_maximization(saving=True, output_dir=str(tmp_path))
+    srv = ThetaServer(str(tmp_path))
+    srv.warmup(n_docs=1, doc_len=8)  # must not raise
+
+
+def test_serving_eta_mean_excludes_empty_docs(tmp_path, toy_corpus,
+                                              toy_dictionary):
+    """Regression: artifact serving averaged eta over ALL saved rows —
+    empty (doc_ok=False) docs have eta frozen at exactly 0, shrinking
+    the CTM prior mean vs STM.transform's real-docs-only mean."""
+    from strutopy_tpu.models.serving import infer_from_artifacts
+
+    docs = list(toy_corpus.train_docs)
+    docs.insert(2, [])
+    docs.insert(7, [])  # two empty docs
+    model = STM(
+        documents=docs, dictionary=toy_dictionary, K=3,
+        max_em_iter=3, init_type="random", model_type="CTM",
+    )
+    model.expectation_maximization(saving=True, output_dir=str(tmp_path))
+    theta_live, eta_live = model.transform(toy_corpus.test_docs)
+    theta_art, eta_art = infer_from_artifacts(str(tmp_path),
+                                              toy_corpus.test_docs)
+    np.testing.assert_array_equal(theta_art, theta_live)
+    np.testing.assert_array_equal(eta_art, eta_live)
+
+
 def test_init_state_has_strong_typed_overflow_counter():
     """Regression: a weak-typed python-int straggler_overflow gave
     iteration 1 a different aval than the int32 array the EM step
