@@ -48,8 +48,12 @@ def topic_dissimilarity(beta_a: np.ndarray, beta_b: np.ndarray,
     if metric == "l1":
         return 0.5 * np.abs(A[:, None, :] - B[None, :, :]).sum(axis=2)
     if metric == "cosine":
-        An = A / np.linalg.norm(A, axis=1, keepdims=True)
-        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        # guard dead topics: update_beta_lda zeroes a row whose suff
+        # stats are zero, and 0/0 here would feed NaNs into the
+        # Hungarian assignment.  A zero row gets similarity 0 to
+        # everything — maximally dissimilar, like the js branch.
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
         return 1.0 - An @ Bn.T
     if metric == "js":
         logA = np.where(A > 0, np.log(np.maximum(A, 1e-300)), 0.0)

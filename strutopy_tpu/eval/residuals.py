@@ -66,7 +66,18 @@ def check_residuals(
     if beta.ndim == 3:
         if aspect is None:
             raise ValueError("content-model beta (A, K, V) needs aspect=(N,) ids")
-        aspect = np.asarray(aspect)
+        aspect = np.asarray(aspect).ravel()
+        if len(aspect) != N:
+            # a short aspect array would leave np.empty rows of q
+            # uninitialized — garbage statistics, no error
+            raise ValueError(
+                f"aspect has {len(aspect)} entries for {N} documents"
+            )
+        if aspect.min() < 0 or aspect.max() >= beta.shape[0]:
+            raise ValueError(
+                f"aspect ids must lie in [0, {beta.shape[0]}) for an "
+                f"(A={beta.shape[0]}, K, V) beta"
+            )
     elif aspect is not None:
         raise ValueError("aspect given but beta is not (A, K, V)")
 
@@ -85,13 +96,16 @@ def check_residuals(
         else:
             q = th @ beta  # (chunk, V)
         m = np.array([sum(c for _, c in doc) for doc in docs], np.float64)
-        e = q * m[:, None]  # (chunk, V) expected counts
+        q *= m[:, None]  # in place: q becomes the expected counts e
+        e = q  # (chunk, V); no second float64 (chunk, V) temporary
         big = e > tol
-        df += float(np.sum(big)) - np.count_nonzero(m)
+        df += float(np.count_nonzero(big)) - np.count_nonzero(m)
         n_used += int(np.count_nonzero(m))
         # all admitted cells as if unobserved: sum of e over big cells;
-        # observed cells then swap their e for the Pearson term
-        row_e_big = np.sum(e * big, axis=1)
+        # observed cells then swap their e for the Pearson term.
+        # einsum iterates instead of materializing e*big — at V=70k /
+        # chunk=4096 the dense temporaries here were multi-GB
+        row_e_big = np.einsum("dv,dv->d", e, big)
         for i, doc in enumerate(docs):
             if not doc or m[i] == 0:
                 continue

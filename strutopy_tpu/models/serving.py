@@ -212,7 +212,11 @@ def infer_theta(
 
 def _load_params(model_dir: str):
     """Load ``*_hat.npy`` artifacts + config -> (beta, sigma, gamma,
-    eta_mean, cfg).  ``gamma``/``eta_mean`` may be None."""
+    eta_mean, cfg, train).  ``gamma``/``eta_mean`` may be None.
+
+    ``train`` is ``(X_train, ok_train)`` (or None) — the saved raw
+    covariates plus the empty-doc proxy mask, so the prior construction
+    can re-encode a categorical covariate with the TRAINING levels."""
     from strutopy_tpu.corpus.io import load_model_artifacts
     from strutopy_tpu.models.config import STMConfig
 
@@ -249,12 +253,23 @@ def _load_params(model_dir: str):
         # every coordinate)
         real = ~(eta == 0.0).all(axis=1)
         eta_mean = eta[real].mean(axis=0) if real.any() else eta.mean(axis=0)
-    return beta, sigma, art.get("gamma"), eta_mean, cfg
+    train = None
+    X_train = art.get("X")
+    if X_train is not None:
+        ok = (real if eta is not None and len(eta) == len(X_train)
+              else np.ones(len(X_train), bool))
+        train = (np.asarray(X_train, np.float64), ok)
+    return beta, sigma, art.get("gamma"), eta_mean, cfg, train
 
 
-def _prior_means(gamma, eta_mean, cfg, K: int, N_new: int, X) -> np.ndarray:
+def _prior_means(gamma, eta_mean, cfg, K: int, N_new: int, X,
+                 train=None) -> np.ndarray:
     """Per-document prior means mu (N_new, K-1) from the fitted prevalence
-    model (or its fallbacks), matching STM.transform's semantics."""
+    model (or its fallbacks), matching STM.transform's semantics.
+
+    ``train=(X_train, ok_train)`` (from ``_load_params``) re-encodes a
+    1-D categorical covariate with the training levels, as
+    STM.transform does."""
     if X is not None and gamma is None:
         raise ValueError(
             "X was passed but the model has no prevalence regression "
@@ -266,6 +281,12 @@ def _prior_means(gamma, eta_mean, cfg, K: int, N_new: int, X) -> np.ndarray:
         Xa = np.asarray(X, np.float64)
         if Xa.ndim == 1:
             Xa = Xa[:, None]
+        if train is not None:
+            from strutopy_tpu.ops.mstep import encode_new_covariates
+
+            enc = encode_new_covariates(Xa, train[0], train[1])
+            if enc is not None:
+                Xa = enc
         P = gamma.shape[1]
         # dispatch on the fitted config, not a column-count guess: with
         # fit_intercept=False a (P-1)-column X is an ERROR, and silently
@@ -324,14 +345,15 @@ def infer_from_artifacts(
     beta_index=None,
 ):
     """Load ``*_hat.npy`` artifacts + config and infer theta for new docs."""
-    beta, sigma, gamma, eta_mean, cfg = _load_params(model_dir)
+    beta, sigma, gamma, eta_mean, cfg, train = _load_params(model_dir)
     K = beta.shape[-2]
     if beta.ndim == 3 and beta_index is None:
         raise ValueError(
             "this is a content-covariate model (per-aspect beta); pass "
             "beta_index for the new documents"
         )
-    mu_user = _prior_means(gamma, eta_mean, cfg, K, _n_docs(documents), X)
+    mu_user = _prior_means(gamma, eta_mean, cfg, K, _n_docs(documents), X,
+                           train=train)
     return infer_theta(beta, sigma, mu_user, documents, cfg,
                        aspects_user=beta_index)
 
@@ -358,13 +380,14 @@ class ThetaServer:
 
         import jax.numpy as jnp
 
-        beta, sigma, gamma, eta_mean, cfg = _load_params(model_dir)
+        beta, sigma, gamma, eta_mean, cfg, train = _load_params(model_dir)
         self.cfg = cfg
         self.K = beta.shape[-2]
         self.V = beta.shape[-1]
         self.content = beta.ndim == 3
         self._gamma = gamma
         self._eta_mean = eta_mean
+        self._train = train
         # vocabulary (saved by save_model beyond the reference artifact
         # set) enables raw-text requests; absent in reference-produced
         # artifact dirs, where only pre-encoded BoW can be served
@@ -390,7 +413,7 @@ class ThetaServer:
                 "beta_index for the new documents"
             )
         mu_user = _prior_means(self._gamma, self._eta_mean, self.cfg, self.K,
-                               _n_docs(documents), X)
+                               _n_docs(documents), X, train=self._train)
         return infer_theta(self._beta, self._sigma, mu_user, documents,
                            self.cfg, aspects_user=beta_index,
                            full_convergence=full_convergence)

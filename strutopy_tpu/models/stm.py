@@ -672,13 +672,21 @@ class STM:
             Xa = np.asarray(X, np.float64)
             if Xa.ndim == 1:
                 Xa = Xa[:, None]
+            # a 1-D categorical covariate was one-hot encoded at fit time
+            # (ops/mstep.py::build_design); encode the new values with
+            # the TRAINING levels so raw covariates keep working
+            enc = mstep.encode_new_covariates(
+                Xa, self.X, self._corpus.doc_ok
+            )
+            if enc is not None:
+                Xa = enc
             D_new = np.c_[np.ones(N_new), Xa] if cfg.fit_intercept else Xa
             if D_new.shape[1] != self.gamma.shape[1]:
                 raise ValueError(
                     f"X has {Xa.shape[1]} column(s) but the fitted gamma "
                     f"expects a {self.gamma.shape[1]}-column design; "
-                    "categorical covariates must be passed with the same "
-                    "one-hot encoding used at training"
+                    "multi-column covariates must be passed with the same "
+                    "encoding used at training"
                 )
             mu_user = D_new @ np.asarray(self.gamma, np.float64).T
 

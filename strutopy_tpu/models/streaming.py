@@ -103,6 +103,32 @@ class StreamedEM:
             self.n_parts = len(parts)
 
         self.prefetch = prefetch
+        # equal-shape contract (class docstring): pinned on first fetch,
+        # checked on every later one — a ragged tail part would either
+        # recompile the E-step per shape (minutes per graph through the
+        # TPU tunnel) or fail opaquely inside jit against part_states
+        self._part_shape: Optional[Tuple[int, ...]] = None
+        self._cached_part0: Optional[Part] = None
+        # M-step finalize as jitted calls: streamed fits pay per-op
+        # dispatch latency (~25 ms through the tunnel) for every eager
+        # jnp op, unlike em.py's single-jit iteration
+        self._prevalence = jax.jit(
+            lambda mom: mstep.update_prevalence(
+                mom, self.design, cfg.model_type, cfg.mode,
+                ridge_alpha=cfg.ridge_alpha, lasso_alpha=cfg.lasso_alpha,
+            )
+        )
+        self._sigma = jax.jit(
+            lambda resid, sigma_ss: mstep.update_sigma(
+                resid, sigma_ss, self.design.n_docs, cfg.sigma_prior
+            )
+        )
+        if cfg.lda_beta:
+            self._beta_lda = jax.jit(
+                lambda beta_ss: mstep.update_beta_lda(
+                    beta_ss, cfg.beta_smoothing
+                )
+            )
         if mesh is None:
             self._part_estep = jax.jit(self._part_estep_impl)
             self._mu_resid = jax.jit(self._mu_resid_impl)
@@ -171,6 +197,22 @@ class StreamedEM:
         numpy slicing, regeneration) and the transfer with the current
         part's E-step. Device-resident parts pass through untouched.
         Under a mesh, every field lands document-sharded."""
+        if p == 0 and self._cached_part0 is not None:
+            # init_parts already materialized part 0 for its shapes;
+            # reuse it once instead of a second provider(0) call
+            raw, self._cached_part0 = self._cached_part0, None
+        else:
+            raw = self._provider(p)
+        shp = tuple(np.shape(raw[0]))
+        if self._part_shape is None:
+            self._part_shape = shp
+        elif shp != self._part_shape:
+            raise ValueError(
+                f"part {p} has words shape {shp} but earlier parts had "
+                f"{self._part_shape}: every part must share one (n, L) "
+                "shape (one compiled E-step graph serves all parts; pad "
+                "a short tail part instead of shrinking it)"
+            )
         if self.mesh is not None:
             # device_put the HOST array with the sharding directly: only
             # each device's slice is transferred.  jnp.asarray first
@@ -179,11 +221,10 @@ class StreamedEM:
             # 1M-doc scale, the tunnel-crash regime this driver exists
             # to avoid).
             w, c, a, ok, D = (
-                jax.device_put(x, self._doc_sharding)
-                for x in self._provider(p)
+                jax.device_put(x, self._doc_sharding) for x in raw
             )
         else:
-            w, c, a, ok, D = (jnp.asarray(x) for x in self._provider(p))
+            w, c, a, ok, D = (jnp.asarray(x) for x in raw)
         return CorpusData.single(w, c, a, ok, D)
 
     # -- jitted pieces ----------------------------------------------------
@@ -204,6 +245,7 @@ class StreamedEM:
         from strutopy_tpu.models.state import init_state
 
         part0 = self._provider(0)
+        self._cached_part0 = part0  # reused by the first _fetch(0)
         n = np.asarray(part0[0]).shape[0]
         P = self._P(part0)
         keys = jax.random.split(key, self.n_parts)
@@ -261,10 +303,7 @@ class StreamedEM:
                 ex.shutdown(wait=True)
 
         mom = mstep.EtaMoments(Dt_eta=stats_sum.Dt_eta, eta_sum=stats_sum.eta_sum)
-        gamma, mu_mean = mstep.update_prevalence(
-            mom, self.design, cfg.model_type, cfg.mode,
-            ridge_alpha=cfg.ridge_alpha, lasso_alpha=cfg.lasso_alpha,
-        )
+        gamma, mu_mean = self._prevalence(mom)
         if self.mesh is not None and mu_mean is None:
             # the shard_mapped mu/resid pass takes a fixed arity of
             # array args; STM mode ignores mu_mean, so pass zeros
@@ -278,11 +317,9 @@ class StreamedEM:
             mus.append(mu_p)
             resid = r if resid is None else resid + r
 
-        sigma = mstep.update_sigma(
-            resid, stats_sum.sigma_ss, self.design.n_docs, cfg.sigma_prior
-        )
+        sigma = self._sigma(resid, stats_sum.sigma_ss)
         if cfg.lda_beta:
-            beta = mstep.update_beta_lda(stats_sum.beta_ss, cfg.beta_smoothing)
+            beta = self._beta_lda(stats_sum.beta_ss)
             kappa = shared.kappa
         else:
             beta, kappa = mstep.update_beta_content(

@@ -103,6 +103,57 @@ def build_design(
     return D
 
 
+def encode_new_covariates(
+    X_new: np.ndarray,
+    X_train: Optional[np.ndarray],
+    doc_ok_train: np.ndarray,
+) -> Optional[np.ndarray]:
+    """Re-encode NEW documents' covariates exactly as :func:`build_design`
+    encoded the training X, or return None when training used no one-hot
+    encoding (binary/numeric/multi-column X passes through unchanged).
+
+    Without this, a model fit on a 1-D categorical covariate (one-hot
+    encoded at fit time, so gamma has one column per level) cannot
+    transform/serve new documents from the raw covariate values — and
+    inferring the levels from the NEW batch alone would silently
+    misalign gamma's columns whenever a level is absent from it.
+    """
+    if X_train is None:
+        return None
+    Xt = np.asarray(X_train, np.float64)
+    if Xt.ndim == 1:
+        Xt = Xt[:, None]
+    if Xt.ndim > 2:
+        Xt = Xt.reshape(Xt.shape[0], -1)
+    if Xt.shape[1] != 1 or np.all((Xt == 0) | (Xt == 1)):
+        return None  # build_design passed it through unencoded
+    real = np.asarray(doc_ok_train, bool)
+    levels = np.unique(Xt[real, 0]) if real.any() else np.unique(Xt[:, 0])
+    if not (0 < len(levels) <= 32):
+        return None  # too many levels: build_design kept it numeric
+    Xn = np.asarray(X_new, np.float64)
+    if Xn.ndim == 1:
+        Xn = Xn[:, None]
+    if Xn.shape[1] == len(levels):
+        return Xn  # caller already passed the one-hot encoding
+    if Xn.shape[1] != 1:
+        raise ValueError(
+            f"the model was fit on a 1-column categorical covariate "
+            f"({len(levels)} levels); pass new X as the raw 1-column "
+            f"values or as the {len(levels)}-column one-hot encoding, "
+            f"got {Xn.shape[1]} columns"
+        )
+    unseen = ~np.isin(Xn[:, 0], levels)
+    if unseen.any():
+        raise ValueError(
+            f"new documents carry covariate value(s) "
+            f"{np.unique(Xn[unseen, 0]).tolist()} not among the training "
+            f"levels {levels.tolist()}; the fitted gamma has no "
+            "coefficient for them"
+        )
+    return (Xn[:, :1] == levels[None, :]).astype(np.float64)
+
+
 def make_prevalence_design(
     X: Optional[np.ndarray],
     doc_ok: np.ndarray,

@@ -21,7 +21,7 @@ import numpy as np
 
 from strutopy_tpu.corpus.bow import Vocabulary
 from strutopy_tpu.dgp.corpus_creation import CorpusCreation
-from strutopy_tpu.eval.heldout import cut_in_half, eval_heldout
+from strutopy_tpu.eval.heldout import cut_in_half, eval_heldout, split_corpus
 from strutopy_tpu.models.stm import STM
 
 logger = logging.getLogger(__name__)
@@ -158,9 +158,14 @@ def train_and_eval_heldout(
     fitted parameters — the fitNewDocuments-style variant), halving the
     cost of a find-K sweep.
     """
+    # materialize up front: generators would be consumed by cut_in_half
+    # and the first list() below, silently emptying the later uses (the
+    # completion protocol trains model_beta on train + ALL of test)
+    train_docs = list(train_docs)
+    test_docs = list(test_docs)
     test_1, test_2 = cut_in_half(test_docs)
-    beta_train_corpus = list(train_docs) + list(test_docs)
-    theta_train_corpus = list(train_docs) + list(test_1)
+    beta_train_corpus = train_docs + test_docs
+    theta_train_corpus = train_docs + list(test_1)
 
     dict_beta = Vocabulary.from_corpus(beta_train_corpus)
     dict_theta = Vocabulary.from_corpus(theta_train_corpus)
@@ -242,9 +247,8 @@ def find_k(
     (see train_and_eval_heldout), halving the sweep cost.
     Returns {model_type: {K: heldout_ll}}.
     """
-    documents = list(documents)
-    split = int(proportion * len(documents))
-    train, test = documents[:split], documents[split:]
+    sp = split_corpus(documents, proportion, document_completion=False)
+    train, test = sp["train"], sp["test"]
     results = {}
     for mt in model_types:
         results[mt] = {}
@@ -301,13 +305,14 @@ def search_k(
     from strutopy_tpu.eval.diagnostics import exclusivity, semantic_coherence
     from strutopy_tpu.eval.residuals import check_residuals
 
-    documents = list(documents)
+    sp = split_corpus(documents, proportion, document_completion=False)
+    documents = sp["train"] + sp["test"]
     results = {}
     for K in K_candidates:
         t0 = time.monotonic()
         ll, model, _ = train_and_eval_heldout(
-            documents[: int(proportion * len(documents))],
-            documents[int(proportion * len(documents)) :],
+            sp["train"],
+            sp["test"],
             K=K,
             X=X,
             init_type=init_type,

@@ -575,3 +575,86 @@ def test_infer_theta_mesh_multibucket_matches_single_device():
                                  mesh=make_mesh(4))
     np.testing.assert_allclose(theta_m, theta_1, atol=1e-5)
     np.testing.assert_allclose(eta_m, eta_1, atol=1e-4)
+
+
+def test_encode_new_covariates_unit():
+    """encode_new_covariates mirrors build_design's one-hot decision
+    (ops/mstep.py::build_design, reference stm.py:657-671): categorical
+    training X -> new raw values one-hot against the TRAINING levels;
+    binary/multi-column X was never encoded -> None (pass-through)."""
+    import pytest
+
+    from strutopy_tpu.ops.mstep import encode_new_covariates
+
+    ok = np.ones(6, bool)
+    cat = np.asarray([1.0, 2.0, 3.0, 1.0, 2.0, 3.0])[:, None]
+    # raw new values -> one-hot in TRAINING level order, even when the
+    # new batch is missing a level
+    enc = encode_new_covariates(np.asarray([3.0, 1.0]), cat, ok)
+    np.testing.assert_array_equal(enc, [[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    # already-encoded one-hot passes through unchanged
+    eye = np.eye(3)[[0, 2]]
+    np.testing.assert_array_equal(encode_new_covariates(eye, cat, ok), eye)
+    # binary / multi-column / absent training X was never encoded
+    assert encode_new_covariates(
+        np.asarray([1.0]), np.asarray([0.0, 1.0, 1.0]), np.ones(3, bool)
+    ) is None
+    assert encode_new_covariates(np.ones((2, 2)), np.ones((6, 2)), ok) is None
+    assert encode_new_covariates(np.ones(2), None, ok) is None
+    # unseen level / wrong arity are errors, not silent misalignment
+    with pytest.raises(ValueError, match="not among the training"):
+        encode_new_covariates(np.asarray([7.0]), cat, ok)
+    with pytest.raises(ValueError, match="1-column categorical"):
+        encode_new_covariates(np.ones((2, 2)), cat, ok)
+    # level inference skips doc_ok=False rows (zero-filled padding)
+    padded = np.r_[cat[:, 0], 0.0][:, None]
+    ok7 = np.r_[np.ones(6, bool), np.zeros(1, bool)]
+    enc = encode_new_covariates(np.asarray([2.0]), padded, ok7)
+    np.testing.assert_array_equal(enc, [[0.0, 1.0, 0.0]])
+
+
+def test_transform_raw_categorical_covariate(toy_corpus, toy_dictionary):
+    """Regression: a model fit on a RAW 1-D categorical covariate
+    (one-hot encoded internally by build_design) must accept raw values
+    at transform time, with gamma's columns aligned to the TRAINING
+    levels — inferring levels from the new batch alone would shift every
+    later column whenever a level is absent from it."""
+    import pytest
+
+    train = toy_corpus.train_docs
+    levels = np.asarray([2.0, 5.0, 9.0])
+    x = levels[np.arange(len(train)) % 3]
+    model = STM(documents=train, dictionary=toy_dictionary, K=3, X=x,
+                max_em_iter=3, init_type="random", model_type="STM")
+    model.expectation_maximization(saving=False)
+    assert model.gamma.shape[1] == 4  # intercept + 3 level columns
+
+    test_docs = toy_corpus.test_docs
+    # new batch MISSING level 2.0
+    x_new = np.asarray([5.0, 9.0])[np.arange(len(test_docs)) % 2]
+    theta_raw, _ = model.transform(test_docs, X=x_new)
+    onehot = (x_new[:, None] == levels[None, :]).astype(np.float64)
+    theta_enc, _ = model.transform(test_docs, X=onehot)
+    np.testing.assert_allclose(theta_raw, theta_enc, atol=1e-6)
+    with pytest.raises(ValueError, match="not among the training"):
+        model.transform(test_docs, X=np.full(len(test_docs), 7.0))
+
+
+def test_serving_raw_categorical_covariate(tmp_path, toy_corpus,
+                                           toy_dictionary):
+    """infer_from_artifacts re-encodes raw categorical X with the
+    training levels recovered from the saved X.npy artifact."""
+    from strutopy_tpu.models.serving import infer_from_artifacts
+
+    train = toy_corpus.train_docs
+    levels = np.asarray([2.0, 5.0, 9.0])
+    x = levels[np.arange(len(train)) % 3]
+    model = STM(documents=train, dictionary=toy_dictionary, K=3, X=x,
+                max_em_iter=3, init_type="random", model_type="STM")
+    model.expectation_maximization(saving=True, output_dir=str(tmp_path))
+
+    test_docs = toy_corpus.test_docs
+    x_new = np.asarray([5.0, 9.0])[np.arange(len(test_docs)) % 2]
+    theta_live, _ = model.transform(test_docs, X=x_new)
+    theta_art, _ = infer_from_artifacts(str(tmp_path), test_docs, X=x_new)
+    np.testing.assert_allclose(theta_art, theta_live, atol=2e-3)

@@ -114,7 +114,9 @@ def test_streamed_provider_callable():
     for _ in range(2):
         shared, part_states = sem.em_iteration(shared, part_states)
     assert np.isfinite(float(np.asarray(shared.bound)))
-    assert calls == [0, 0, 1, 0, 1]  # init_parts peeks part 0 first
+    # init_parts peeks part 0 for shapes; that fetch is CACHED and
+    # reused by iteration 1's part-0 E-step instead of a second call
+    assert calls == [0, 1, 0, 1]
 
 
 def test_stm_stream_parts_matches_plain(toy_corpus, toy_dictionary, toy_metadata):
