@@ -23,6 +23,7 @@ from strutopy_tpu.eval.graph import topic_correlations, topic_graph
 from strutopy_tpu.eval.effects import (
     effect_curve,
     effect_difference,
+    effect_point_estimates,
     estimate_effect,
     estimate_effect_composition,
     estimate_content_effect,
@@ -59,6 +60,7 @@ __all__ = [
     "simulate_theta",
     "effect_curve",
     "effect_difference",
+    "effect_point_estimates",
     "to_ldavis",
     "model_to_ldavis",
     "topic_lasso",

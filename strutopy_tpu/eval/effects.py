@@ -202,6 +202,76 @@ def effect_difference(
     }
 
 
+def effect_point_estimates(
+    effect: dict,
+    covariate: int,
+    values,
+    topics: Optional[Sequence[int]] = None,
+    at=None,
+):
+    """Expected topic proportion AT each discrete covariate level with
+    95% CIs (R-stm ``plot.estimateEffect(method="pointestimate")``, the
+    evaluation half).  Unlike :func:`plot_effect` (which shows the
+    regression SLOPE per topic), this evaluates the fitted regression
+    at specific covariate values — the natural view for categorical
+    covariates such as a treatment indicator.
+
+    Same conventions as :func:`effect_curve` (which it delegates to):
+    other covariates held at estimation-sample means, ``at`` overrides,
+    ``covariate`` indexes coefficient columns.
+
+    Returns {"values" (G,), "mean" (K_sel, G), "ci" (K_sel, G, 2),
+    "topics"}.
+    """
+    return effect_curve(effect, covariate, values, topics=topics, at=at)
+
+
+def plot_effect_pointestimate(
+    effect: dict,
+    covariate: int,
+    values,
+    topics: Optional[Sequence[int]] = None,
+    at=None,
+    labels: Optional[Sequence[str]] = None,
+    value_labels: Optional[Sequence[str]] = None,
+    path: Optional[str] = None,
+):
+    """R-stm ``plot.estimateEffect(method="pointestimate")``: one
+    dot-whisker per (topic, covariate level) of the expected topic
+    proportion, topics on the y axis, levels distinguished by marker."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    res = effect_point_estimates(effect, covariate, values, topics=topics,
+                                 at=at)
+    mean, ci, tps = res["mean"], res["ci"], res["topics"]
+    G = mean.shape[1]
+    y = np.arange(len(tps))
+    cmap = plt.get_cmap("tab10")
+    fig, ax = plt.subplots(figsize=(6, 0.45 * len(tps) + 1))
+    for g in range(G):
+        off = (g - (G - 1) / 2) * min(0.8 / max(G, 1), 0.25)
+        name = (value_labels[g] if value_labels is not None
+                else f"{res['values'][g]:g}")
+        ax.errorbar(
+            mean[:, g], y + off,
+            xerr=np.stack([mean[:, g] - ci[:, g, 0], ci[:, g, 1] - mean[:, g]]),
+            fmt="o", capsize=3, color=cmap(g % 10), label=name,
+        )
+    ax.set_yticks(y)
+    ax.set_yticklabels(
+        labels if labels is not None else [f"topic {k}" for k in tps]
+    )
+    ax.set_xlabel("expected topic proportion")
+    ax.set_title("Topic prevalence at covariate levels (95% CI)")
+    ax.legend(loc="best", fontsize=8, title=f"design column {covariate}")
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+    return fig
+
+
 def plot_effect_continuous(
     effect: dict,
     covariate: int,

@@ -133,6 +133,46 @@ def test_effect_curve_and_difference_methods(tmp_path):
         assert (tmp_path / f).stat().st_size > 0
 
 
+def test_effect_pointestimate_method(tmp_path):
+    """R-stm plot.estimateEffect 'pointestimate' analog: expected
+    proportions AT discrete covariate levels — level means on a planted
+    binary design, with the level-0/level-1 gap equal to the slope and
+    consistent with effect_difference."""
+    from strutopy_tpu.eval.effects import (
+        effect_difference,
+        effect_point_estimates,
+        plot_effect_pointestimate,
+    )
+
+    rng = np.random.default_rng(7)
+    N = 800
+    x = rng.integers(0, 2, N).astype(float)
+    theta = np.zeros((N, 3))
+    theta[:, 0] = 0.25 + 0.12 * x + 0.01 * rng.normal(size=N)
+    theta[:, 1] = 0.45 - 0.08 * x + 0.01 * rng.normal(size=N)
+    theta[:, 2] = 1.0 - theta[:, 0] - theta[:, 1]
+    eff = estimate_effect(theta, x)
+
+    pts = effect_point_estimates(eff, covariate=1, values=[0.0, 1.0])
+    assert pts["mean"].shape == (3, 2) and pts["ci"].shape == (3, 2, 2)
+    np.testing.assert_allclose(pts["mean"][0], [0.25, 0.37], atol=0.01)
+    np.testing.assert_allclose(pts["mean"][1], [0.45, 0.37], atol=0.01)
+    # the level gap IS the difference method's contrast
+    diff = effect_difference(eff, covariate=1, v0=0.0, v1=1.0)
+    np.testing.assert_allclose(
+        pts["mean"][:, 1] - pts["mean"][:, 0], diff["diff"], rtol=1e-10
+    )
+    assert np.all(pts["ci"][..., 0] <= pts["mean"])
+    assert np.all(pts["mean"] <= pts["ci"][..., 1])
+
+    fig = plot_effect_pointestimate(
+        eff, 1, [0.0, 1.0], topics=[0, 1],
+        value_labels=["control", "treated"],
+        path=str(tmp_path / "pt.png"),
+    )
+    assert fig is not None and (tmp_path / "pt.png").stat().st_size > 0
+
+
 def test_new_plots_render(tmp_path):
     rng = np.random.default_rng(1)
     beta = rng.dirichlet(np.ones(30), size=4)
