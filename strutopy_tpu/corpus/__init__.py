@@ -3,7 +3,9 @@ from strutopy_tpu.corpus.bow import (
     Vocabulary,
     pad_corpus,
     create_dtm,
+    from_dtm,
     to_bow,
 )
 
-__all__ = ["PaddedCorpus", "Vocabulary", "pad_corpus", "create_dtm", "to_bow"]
+__all__ = ["PaddedCorpus", "Vocabulary", "pad_corpus", "create_dtm",
+           "from_dtm", "to_bow"]

@@ -205,6 +205,37 @@ def create_dtm(documents, V: int | None = None) -> np.ndarray:
     return dtm
 
 
+def from_dtm(dtm) -> list:
+    """BoW documents from a document-term count matrix (R-stm
+    ``readCorpus(type="dtm")`` analogue; the inverse of
+    :func:`create_dtm`).
+
+    Accepts a dense (D, V) array or a scipy sparse matrix; rows become
+    ``[(word_idx, count), ...]`` documents with zero-count entries
+    dropped (an all-zero row becomes an empty document — callers decide
+    whether to filter, as R-stm's prepDocuments does).
+    """
+    if hasattr(dtm, "tocsr"):  # scipy sparse, no hard dependency
+        csr = dtm.tocsr()
+        docs = []
+        for d in range(csr.shape[0]):
+            lo, hi = csr.indptr[d], csr.indptr[d + 1]
+            docs.append(
+                [(int(w), int(round(c)))
+                 for w, c in zip(csr.indices[lo:hi], csr.data[lo:hi])
+                 if c > 0]
+            )
+        return docs
+    dtm = np.asarray(dtm)
+    if dtm.ndim != 2:
+        raise ValueError(f"dtm must be 2-D (D, V), got shape {dtm.shape}")
+    docs = []
+    for row in dtm:
+        (nz,) = np.nonzero(row)
+        docs.append([(int(w), int(round(row[w]))) for w in nz])
+    return docs
+
+
 class Vocabulary:
     """Minimal vocabulary: id -> token mapping.
 

@@ -151,6 +151,25 @@ def test_ldac_roundtrip(tmp_path):
     assert read_ldac(str(p)) == docs
 
 
+def test_from_dtm_inverts_create_dtm():
+    """R-stm readCorpus(type="dtm") analogue: dense and scipy-sparse
+    DTMs round-trip back to BoW documents, empty rows included."""
+    import pytest
+
+    from strutopy_tpu.corpus.bow import create_dtm, from_dtm
+
+    docs = [[(0, 2), (5, 1)], [], [(3, 4), (4, 1)]]
+    dtm = create_dtm(docs, V=6)
+    assert from_dtm(dtm) == docs
+
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    assert from_dtm(scipy_sparse.csr_matrix(dtm)) == docs
+    assert from_dtm(scipy_sparse.coo_matrix(dtm)) == docs
+
+    with pytest.raises(ValueError, match="2-D"):
+        from_dtm(np.zeros(4))
+
+
 def test_ldac_rejects_malformed(tmp_path):
     import pytest
 
