@@ -19,7 +19,7 @@ from strutopy_tpu.eval.align import (
     topic_dissimilarity,
 )
 from strutopy_tpu.eval.perplexity import perplexity
-from strutopy_tpu.eval.graph import topic_correlations, topic_graph
+from strutopy_tpu.eval.graph import topic_correlations, topic_graph, topic_graph_huge
 from strutopy_tpu.eval.effects import (
     effect_curve,
     effect_difference,
@@ -54,6 +54,7 @@ __all__ = [
     "perplexity",
     "topic_correlations",
     "topic_graph",
+    "topic_graph_huge",
     "estimate_effect",
     "estimate_effect_composition",
     "estimate_content_effect",

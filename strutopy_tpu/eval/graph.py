@@ -60,6 +60,109 @@ def topic_graph(sigma: np.ndarray, cutoff: float = 0.01):
     return adj, edges
 
 
+def nonparanormal(X: np.ndarray) -> np.ndarray:
+    """Column-wise nonparanormal (Gaussian copula) transform: shrunk
+    ECDF ranks through the normal quantile, rescaled to the column's
+    original sd (the ``huge.npn(..., npn.func="shrinkage")`` transform
+    R-stm's ``topicCorr(method="huge")`` applies to theta before graph
+    estimation)."""
+    from scipy.stats import norm, rankdata
+
+    X = np.asarray(X, np.float64)
+    n = X.shape[0]
+    ranks = np.apply_along_axis(rankdata, 0, X)
+    Z = norm.ppf(ranks / (n + 1))
+    sd_z = Z.std(axis=0, ddof=1)
+    return Z / np.where(sd_z > 0, sd_z, 1.0) * X.std(axis=0, ddof=1)
+
+
+def _mb_adjacency(X: np.ndarray, lambdas: np.ndarray) -> np.ndarray:
+    """Meinshausen-Buhlmann neighborhood selection along a lambda path.
+
+    X is (n, K) with standardized columns.  For each node k, lasso-
+    regress column k on the others (warm-started down the path); an
+    edge (i, j) exists when EITHER coefficient is nonzero (the OR rule
+    huge's ``refit`` uses).  Returns (n_lambda, K, K) bool."""
+    from strutopy_tpu.eval.predict import _cd_gaussian
+
+    n, K = X.shape
+    adj = np.zeros((len(lambdas), K, K), bool)
+    pen = np.ones(K - 1)
+    for k in range(K):
+        others = [j for j in range(K) if j != k]
+        Xmk, y = X[:, others], X[:, k]
+        b = np.zeros(K - 1)
+        for li, lam in enumerate(lambdas):
+            b = _cd_gaussian(Xmk, y - y.mean(), float(lam), pen, b)
+            for bj, j in zip(b, others):
+                if bj != 0.0:
+                    adj[li, k, j] = adj[li, j, k] = True
+    return adj
+
+
+def topic_graph_huge(
+    theta: np.ndarray,
+    n_lambda: int = 10,
+    lambda_ratio: float = 0.1,
+    stars_threshold: float = 0.1,
+    n_subsamples: int = 20,
+    seed: int = 0,
+):
+    """Sparse topic graph via Gaussian-copula neighborhood selection
+    (R-stm ``topicCorr(model, method="huge")``): nonparanormal
+    transform of theta, Meinshausen-Buhlmann lasso neighborhoods over
+    a geometric lambda path, and StARS stability selection of the
+    regularization (huge.select's well-known criterion; huge's default
+    RIC is a rotation heuristic with no population target — StARS is
+    the documented deviation, PARITY_NOTES.md).
+
+    Returns {"adjacency" (K, K) bool, "edges" [(i, j), ...],
+    "lambda" (selected), "lambdas", "instability"} — the refit
+    adjacency is estimated on the FULL sample at the selected lambda.
+    """
+    theta = np.asarray(theta, np.float64)
+    n, K = theta.shape
+    if K < 2 or n < 10:
+        raise ValueError(f"need n >= 10 docs and K >= 2 topics, got {theta.shape}")
+    Z = nonparanormal(theta)
+    Z = (Z - Z.mean(axis=0)) / np.where(Z.std(axis=0) > 0, Z.std(axis=0), 1.0)
+
+    # global lambda_max: the smallest lambda with an empty MB graph
+    # (max absolute off-diagonal correlation), as huge computes it
+    corr = np.abs(Z.T @ Z) / n
+    np.fill_diagonal(corr, 0.0)
+    lam_max = float(corr.max())
+    lambdas = lam_max * np.geomspace(1.0, lambda_ratio, n_lambda)
+
+    # StARS: edge frequency over subsamples of size b = 10*sqrt(n)
+    rng = np.random.default_rng(seed)
+    b = min(n, int(np.floor(10.0 * np.sqrt(n))))
+    freq = np.zeros((n_lambda, K, K))
+    for _ in range(n_subsamples):
+        idx = rng.choice(n, size=b, replace=False)
+        S = Z[idx]
+        S = (S - S.mean(axis=0)) / np.where(S.std(axis=0) > 0, S.std(axis=0), 1.0)
+        freq += _mb_adjacency(S, lambdas)
+    p = freq / n_subsamples
+    xi = 2.0 * p * (1.0 - p)                      # per-edge instability
+    iu = np.triu_indices(K, 1)
+    instability = xi[:, iu[0], iu[1]].mean(axis=1)
+    # monotonize from the sparse end, then take the densest graph whose
+    # cumulative instability stays under the threshold
+    mono = np.maximum.accumulate(instability)
+    ok = np.nonzero(mono <= stars_threshold)[0]
+    sel = int(ok[-1]) if len(ok) else 0
+    adj = _mb_adjacency(Z, lambdas[sel: sel + 1])[0]
+    edges = [(int(i), int(j)) for i, j in zip(*np.nonzero(np.triu(adj, 1)))]
+    return {
+        "adjacency": adj,
+        "edges": edges,
+        "lambda": float(lambdas[sel]),
+        "lambdas": lambdas,
+        "instability": instability,
+    }
+
+
 def plot_topic_graph(sigma: np.ndarray, cutoff: float = 0.01, path: Optional[str] = None):
     """Spring-ish layout plot of the topic graph (matplotlib only)."""
     import matplotlib

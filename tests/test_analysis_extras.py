@@ -54,6 +54,34 @@ def test_topic_graph_edges():
     assert len(edges) == 1 and edges[0][:2] == (0, 1)
 
 
+def test_topic_graph_huge_recovers_chain_structure():
+    """R-stm topicCorr(method='huge') analogue: MB neighborhood
+    selection with StARS recovers a planted chain graphical model —
+    every chain edge present, false-positive edges rare — and the
+    rank-based copula transform makes the result invariant to a
+    monotone distortion of the margins."""
+    from strutopy_tpu.eval.graph import topic_graph_huge
+
+    rng = np.random.default_rng(0)
+    K, n = 6, 600
+    omega = np.eye(K)
+    for i in range(K - 1):
+        omega[i, i + 1] = omega[i + 1, i] = -0.45
+    X = rng.multivariate_normal(np.zeros(K), np.linalg.inv(omega), size=n)
+
+    res = topic_graph_huge(X, n_subsamples=8, seed=1)
+    chain = {(i, i + 1) for i in range(K - 1)}
+    got = set(res["edges"])
+    assert chain <= got, f"missing chain edges: {chain - got}"
+    assert len(got - chain) <= 2, f"too many spurious edges: {got - chain}"
+    assert res["adjacency"].shape == (K, K)
+    assert 0 < res["lambda"] <= res["lambdas"][0]
+
+    # monotone marginal distortion (exp) leaves the copula graph intact
+    res2 = topic_graph_huge(np.exp(X), n_subsamples=8, seed=1)
+    assert chain <= set(res2["edges"])
+
+
 def test_plots_render(tmp_path):
     theta = np.random.default_rng(1).dirichlet(np.ones(3), size=10)
     plots.display_props(theta, path=str(tmp_path / "props.png"))
