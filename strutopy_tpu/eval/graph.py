@@ -163,15 +163,28 @@ def topic_graph_huge(
     }
 
 
-def plot_topic_graph(sigma: np.ndarray, cutoff: float = 0.01, path: Optional[str] = None):
-    """Spring-ish layout plot of the topic graph (matplotlib only)."""
+def plot_topic_graph(sigma: Optional[np.ndarray] = None, cutoff: float = 0.01,
+                     path: Optional[str] = None, graph: Optional[dict] = None):
+    """Circular-layout plot of the topic graph (matplotlib only).
+
+    Pass ``sigma`` for the simple correlation graph, or ``graph`` (a
+    :func:`topic_graph_huge` result) for the sparse copula graph —
+    the two renderings R-stm's ``plot.topicCorr`` provides.
+    """
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    K = np.asarray(sigma).shape[0] + 1
-    _, edges = topic_graph(sigma, cutoff)
+    if (sigma is None) == (graph is None):
+        raise ValueError("pass exactly one of sigma or graph")
+    if graph is not None:
+        K = graph["adjacency"].shape[0]
+        # constant-strength edges: MB adjacency has no edge weight
+        edges = [(i, j, 0.25) for i, j in graph["edges"]]
+    else:
+        K = np.asarray(sigma).shape[0] + 1
+        _, edges = topic_graph(sigma, cutoff)
     # circular layout (deterministic, dependency-free)
     ang = 2 * np.pi * np.arange(K) / K
     xy = np.c_[np.cos(ang), np.sin(ang)]
@@ -185,7 +198,11 @@ def plot_topic_graph(sigma: np.ndarray, cutoff: float = 0.01, path: Optional[str
     for k in range(K):
         ax.annotate(str(k), xy[k], ha="center", va="center", zorder=4)
     ax.set_axis_off()
-    ax.set_title(f"Topic correlation graph (cutoff {cutoff})")
+    ax.set_title(
+        f"Topic graph (MB/StARS, lambda {graph['lambda']:.3g})"
+        if graph is not None
+        else f"Topic correlation graph (cutoff {cutoff})"
+    )
     if path:
         fig.savefig(path, bbox_inches="tight")
     return fig

@@ -81,6 +81,16 @@ def test_topic_graph_huge_recovers_chain_structure():
     res2 = topic_graph_huge(np.exp(X), n_subsamples=8, seed=1)
     assert chain <= set(res2["edges"])
 
+    # plot.topicCorr renders both methods; exactly one input required
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "huge.png")
+        plot_topic_graph(graph=res, path=p)
+        assert os.path.getsize(p) > 0
+    with np.testing.assert_raises(ValueError):
+        plot_topic_graph()
+
 
 def test_plots_render(tmp_path):
     theta = np.random.default_rng(1).dirichlet(np.ones(3), size=10)
