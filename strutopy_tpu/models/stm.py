@@ -791,6 +791,25 @@ class STM:
 
         return model_to_ldavis(self, R=R, lambda_step=lambda_step, path=path)
 
+    def topic_corr(self, method: str = "simple", cutoff: float = 0.01,
+                   **huge_kwargs):
+        """Topic correlation graph (R-stm ``topicCorr``).
+
+        method="simple": threshold the fitted logistic-normal
+        correlations (returns (adjacency, edges)); method="huge":
+        sparse Gaussian-copula graph on theta via MB neighborhoods +
+        StARS (returns the :func:`eval.graph.topic_graph_huge` dict).
+        Plot either with :func:`eval.graph.plot_topic_graph`.
+        """
+        from strutopy_tpu.eval import graph as _graph
+
+        if method == "simple":
+            return _graph.topic_graph(np.asarray(self.sigma), cutoff=cutoff)
+        if method == "huge":
+            return _graph.topic_graph_huge(np.asarray(self.theta),
+                                           **huge_kwargs)
+        raise ValueError(f"method must be 'simple' or 'huge', got {method!r}")
+
     def check_residuals(self, tol: float = 0.01) -> dict:
         """Multinomial dispersion of the fit's residuals (R-stm
         ``checkResiduals``, Taddy 2012; see eval/residuals.py).

@@ -92,6 +92,25 @@ def test_topic_graph_huge_recovers_chain_structure():
         plot_topic_graph()
 
 
+def test_stm_topic_corr_method(toy_corpus, toy_dictionary):
+    """STM.topic_corr mirrors R-stm topicCorr's method switch on a
+    fitted model: 'simple' thresholds the fitted sigma, 'huge' runs
+    the copula MB/StARS graph on theta."""
+    from strutopy_tpu.models.stm import STM
+
+    m = STM(documents=toy_corpus.train_docs, dictionary=toy_dictionary,
+            K=3, model_type="CTM", init_type="random", max_em_iter=3,
+            seed=7)
+    m.expectation_maximization(saving=False)
+
+    adj, edges = m.topic_corr()
+    assert adj.shape == (3, 3) and isinstance(edges, list)
+    res = m.topic_corr(method="huge", n_subsamples=5)
+    assert res["adjacency"].shape == (3, 3)
+    with np.testing.assert_raises(ValueError):
+        m.topic_corr(method="nope")
+
+
 def test_plots_render(tmp_path):
     theta = np.random.default_rng(1).dirichlet(np.ones(3), size=10)
     plots.display_props(theta, path=str(tmp_path / "props.png"))
