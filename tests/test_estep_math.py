@@ -12,6 +12,8 @@ import pytest
 import scipy.optimize
 import scipy.special
 
+pytestmark = pytest.mark.smoke
+
 import jax
 import jax.numpy as jnp
 

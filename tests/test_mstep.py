@@ -7,6 +7,8 @@ import sklearn.linear_model
 
 from strutopy_tpu.ops import mstep
 
+pytestmark = pytest.mark.smoke
+
 
 def _moments(D, eta):
     return mstep.EtaMoments(

@@ -22,9 +22,12 @@ import pytest
 
 REF_SRC = "/root/reference/src"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_SRC), reason="reference source not mounted"
-)
+pytestmark = [
+    pytest.mark.smoke,
+    pytest.mark.skipif(
+        not os.path.isdir(REF_SRC), reason="reference source not mounted"
+    ),
+]
 
 
 # ref_modules fixture lives in conftest.py (shared with

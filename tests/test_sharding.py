@@ -11,6 +11,7 @@ from strutopy_tpu.models.stm import STM
 from strutopy_tpu.parallel.mesh import make_mesh
 
 
+@pytest.mark.smoke
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 def test_single_vs_eight_shards(toy_corpus, toy_dictionary, toy_metadata):
     train_docs = toy_corpus.train_docs

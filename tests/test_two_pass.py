@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 
 from strutopy_tpu.models.config import STMConfig
+
+pytestmark = pytest.mark.smoke
 from strutopy_tpu.models.stm import STM
 from strutopy_tpu.ops.estep import NewtonConfig, run_estep
 from strutopy_tpu.ops.linalg import precompute_sigma
