@@ -211,28 +211,40 @@ def from_dtm(dtm) -> list:
     :func:`create_dtm`).
 
     Accepts a dense (D, V) array or a scipy sparse matrix; rows become
-    ``[(word_idx, count), ...]`` documents with zero-count entries
-    dropped (an all-zero row becomes an empty document — callers decide
-    whether to filter, as R-stm's prepDocuments does).
+    ``[(word_idx, count), ...]`` documents.  Entries are rounded to the
+    nearest integer first and kept only when the rounded count is
+    positive (a fractional entry in (0, 0.5) drops out instead of
+    becoming a zero-count token); negative entries raise, since a DTM
+    is a count matrix.  An all-zero row becomes an empty document —
+    callers decide whether to filter, as R-stm's prepDocuments does.
     """
     if hasattr(dtm, "tocsr"):  # scipy sparse, no hard dependency
         csr = dtm.tocsr()
+        if csr is dtm:  # tocsr() is a no-op on CSR input; don't mutate it
+            csr = csr.copy()
+        csr.sum_duplicates()  # canonicalize: one (word, count) per word per doc
+        if csr.nnz and csr.data.min() < 0:
+            raise ValueError("dtm has negative entries; counts must be >= 0")
         docs = []
         for d in range(csr.shape[0]):
             lo, hi = csr.indptr[d], csr.indptr[d + 1]
             docs.append(
-                [(int(w), int(round(c)))
-                 for w, c in zip(csr.indices[lo:hi], csr.data[lo:hi])
+                [(int(w), c)
+                 for w, c in zip(csr.indices[lo:hi],
+                                 (int(round(v)) for v in csr.data[lo:hi]))
                  if c > 0]
             )
         return docs
     dtm = np.asarray(dtm)
     if dtm.ndim != 2:
         raise ValueError(f"dtm must be 2-D (D, V), got shape {dtm.shape}")
+    if dtm.size and dtm.min() < 0:
+        raise ValueError("dtm has negative entries; counts must be >= 0")
     docs = []
     for row in dtm:
-        (nz,) = np.nonzero(row)
-        docs.append([(int(w), int(round(row[w]))) for w in nz])
+        counts = np.rint(row).astype(np.int64)
+        (nz,) = np.nonzero(counts > 0)
+        docs.append([(int(w), int(counts[w])) for w in nz])
     return docs
 
 

@@ -118,7 +118,10 @@ def topic_graph_huge(
 
     Returns {"adjacency" (K, K) bool, "edges" [(i, j), ...],
     "lambda" (selected), "lambdas", "instability"} — the refit
-    adjacency is estimated on the FULL sample at the selected lambda.
+    adjacency is estimated on the FULL sample at the selected lambda
+    and, like R-stm's ``posadj = refit * (cor(theta) > 0)``, masked to
+    positively correlated topic pairs; the unmasked MB adjacency is
+    kept under "adjacency_raw".
     """
     theta = np.asarray(theta, np.float64)
     n, K = theta.shape
@@ -152,10 +155,14 @@ def topic_graph_huge(
     mono = np.maximum.accumulate(instability)
     ok = np.nonzero(mono <= stars_threshold)[0]
     sel = int(ok[-1]) if len(ok) else 0
-    adj = _mb_adjacency(Z, lambdas[sel: sel + 1])[0]
+    adj_raw = _mb_adjacency(Z, lambdas[sel: sel + 1])[0]
+    # R-stm keeps only positive-association edges in the reported graph
+    # (topicCorr's posadj): mask by the empirical correlation of theta.
+    adj = adj_raw & (np.corrcoef(theta.T) > 0)
     edges = [(int(i), int(j)) for i, j in zip(*np.nonzero(np.triu(adj, 1)))]
     return {
         "adjacency": adj,
+        "adjacency_raw": adj_raw,
         "edges": edges,
         "lambda": float(lambdas[sel]),
         "lambdas": lambdas,

@@ -81,6 +81,16 @@ def test_topic_graph_huge_recovers_chain_structure():
     res2 = topic_graph_huge(np.exp(X), n_subsamples=8, seed=1)
     assert chain <= set(res2["edges"])
 
+    # R-stm posadj semantics: a negatively-associated pair is found by
+    # MB selection (adjacency_raw) but masked out of the reported graph
+    Y = rng.multivariate_normal(
+        np.zeros(3), [[1, -0.8, 0], [-0.8, 1, 0], [0, 0, 1]], size=400
+    )
+    res3 = topic_graph_huge(Y, n_subsamples=8, seed=2)
+    assert res3["adjacency_raw"][0, 1]
+    assert not res3["adjacency"][0, 1]
+    assert (0, 1) not in res3["edges"]
+
     # plot.topicCorr renders both methods; exactly one input required
     import tempfile, os
 

@@ -169,6 +169,29 @@ def test_from_dtm_inverts_create_dtm():
     with pytest.raises(ValueError, match="2-D"):
         from_dtm(np.zeros(4))
 
+    # fractional entries round first: (0, 0.5] drops (banker's rounding
+    # sends 0.5 -> 0), so no zero-count tokens leak downstream
+    frac = np.array([[0.4, 1.6, 0.5]])
+    assert from_dtm(frac) == [[(1, 2)]]
+    assert from_dtm(scipy_sparse.csr_matrix(frac)) == [[(1, 2)]]
+
+    # negative entries raise in both paths (a DTM is a count matrix)
+    with pytest.raises(ValueError, match="negative"):
+        from_dtm(np.array([[1.0, -1.0]]))
+    with pytest.raises(ValueError, match="negative"):
+        from_dtm(scipy_sparse.csr_matrix(np.array([[1.0, -1.0]])))
+
+    # non-canonical sparse input (duplicate entries for one word) is
+    # summed, matching create_dtm's output, and the input not mutated
+    coo = scipy_sparse.coo_matrix(
+        (np.array([1.0, 2.0]), (np.array([0, 0]), np.array([3, 3]))), shape=(1, 6)
+    )
+    dup_csr = coo.tocsr()  # keeps duplicates until sum_duplicates()
+    dup_csr.sort_indices()
+    nnz_before = dup_csr.nnz
+    assert from_dtm(dup_csr) == [[(3, 3)]]
+    assert dup_csr.nnz == nnz_before
+
 
 def test_ldac_rejects_malformed(tmp_path):
     import pytest
