@@ -137,6 +137,78 @@ def test_checkpoint_resume(tmp_path, toy_corpus, toy_dictionary, toy_metadata):
     np.testing.assert_allclose(m2b.theta, m1.theta, atol=1e-5)
 
 
+def _resume_matches_uninterrupted(tmp_path, toy_corpus, toy_dictionary,
+                                  toy_metadata, **extra_kw):
+    """Shared body: a fit interrupted at iteration 2 and resumed must
+    reproduce the uninterrupted fit's trajectory bit-for-bit (the
+    resume invariant: each Newton step is a pure function of state, the
+    .npz round-trip is exact for f32, and re-sharding restores the
+    identical placement)."""
+    train = toy_corpus.train_docs
+    kw = dict(
+        documents=train, dictionary=toy_dictionary, K=3,
+        X=toy_metadata[: len(train)], init_type="random",
+        model_type="CTM", seed=123456, **extra_kw,
+    )
+    ckpt = str(tmp_path / "state.npz")
+
+    m1 = STM(max_em_iter=4, **kw)
+    m1.expectation_maximization(saving=False)
+
+    m2a = STM(max_em_iter=2, **kw)
+    m2a.expectation_maximization(saving=False, checkpoint_path=ckpt)
+    m2b = STM(max_em_iter=4, **kw)
+    m2b.expectation_maximization(saving=False, checkpoint_path=ckpt, resume=True)
+
+    assert len(m2b.last_bounds) == len(m1.last_bounds)
+    np.testing.assert_array_equal(
+        np.asarray(m2b.last_bounds), np.asarray(m1.last_bounds)
+    )
+    np.testing.assert_array_equal(m2b.beta, m1.beta)
+    np.testing.assert_array_equal(m2b.theta, m1.theta)
+    return m2b
+
+
+def test_checkpoint_resume_under_mesh(tmp_path, toy_corpus, toy_dictionary,
+                                      toy_metadata):
+    """Resume of a document-sharded fit (VERDICT r3 next #3): the
+    restored host state must re-shard onto the mesh and continue the
+    sharded trajectory bit-identically."""
+    import jax
+
+    from strutopy_tpu.parallel.mesh import DOC_AXIS, make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 (virtual) devices")
+    mesh = make_mesh(8)
+    m = _resume_matches_uninterrupted(
+        tmp_path, toy_corpus, toy_dictionary, toy_metadata, mesh=mesh
+    )
+    # the resumed state really lives on the mesh, not a single device
+    assert m._state.eta.sharding.spec[0] == DOC_AXIS
+
+
+def test_checkpoint_resume_streaming_mesh(tmp_path, toy_corpus,
+                                          toy_dictionary, toy_metadata):
+    """Resume composed with streaming x 1-D mesh (VERDICT r3 next #3):
+    the restored full state must slice back into per-part shards and
+    continue bit-identically."""
+    import jax
+
+    from strutopy_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs 4 (virtual) devices")
+    _resume_matches_uninterrupted(
+        tmp_path, toy_corpus, toy_dictionary, toy_metadata,
+        stream_parts=2, mesh=make_mesh(4),
+    )
+
+
 def test_ldac_roundtrip(tmp_path):
     from strutopy_tpu.corpus.io import read_ldac, write_ldac
 
