@@ -18,6 +18,46 @@ import numpy as np
 
 
 _SHARDED_ESTEP = None
+_SHARDED_2D_STEPS: dict = {}
+
+
+def _sharded_2d_step(mesh, cfg, bucket_batches, n_buckets: int, content: bool):
+    """shard_map serving step for a 2-D (docs x vocab) mesh.
+
+    Mirrors training's ``make_sharded_em_step`` (parallel/sharding.py):
+    beta shards its vocab axis, corpus/per-doc arrays shard documents,
+    and the E-step assembles per-chunk beta_doc blocks with one
+    vocab-axis psum (ops/estep.py::_gather_beta).  Per-document outputs
+    are bit-identical across vocab shards (each shard psums the same
+    partial products), so the doc-axis out_specs are sound.  Cached per
+    (mesh, cfg, shapes) so repeat requests reuse the compiled step."""
+    key = (mesh, cfg, bucket_batches, n_buckets, content)
+    step = _SHARDED_2D_STEPS.get(key)
+    if step is None:
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from strutopy_tpu.models.em import local_estep_stats
+        from strutopy_tpu.parallel.mesh import DOC_AXIS, VOCAB_AXIS
+        from strutopy_tpu.parallel.sharding import _data_specs, _state_specs
+
+        def _local(state, data):
+            _stats, eta, theta, _iters = local_estep_stats(
+                state, data, cfg, bucket_batches, vocab_axis=VOCAB_AXIS
+            )
+            return eta, theta
+
+        step = jax.jit(
+            jax.shard_map(
+                _local,
+                mesh=mesh,
+                in_specs=(_state_specs(content, True), _data_specs(n_buckets)),
+                out_specs=(P(DOC_AXIS), P(DOC_AXIS)),
+                check_vma=False,
+            )
+        )
+        _SHARDED_2D_STEPS[key] = step
+    return step
 
 
 def _sharded_estep():
@@ -60,14 +100,18 @@ def infer_theta(
     config's capped budget — up to ~1.8x faster cold bulk scoring, but
     hard documents beyond the pass-2 cap return their pass-1 eta.
 
-    ``mesh`` (a 1-D document mesh, ``parallel.mesh.make_mesh``) shards
-    the batch over its document axis for bulk scoring: beta/sigma
-    replicate, the per-bucket document arrays shard, and the jitted
-    E-step runs as pure data parallelism (per-document Newton is
-    independent, so no collectives are semantically required; parity
-    with the single-device path is tested on the virtual CPU mesh).
-    Vocab-sharded (2-D) serving is not supported — serve under a 1-D
-    mesh or slice the vocab shard to a replicated beta first."""
+    ``mesh`` (a 1-D document mesh from ``parallel.mesh.make_mesh``, or
+    a 2-D docs x vocab mesh from ``make_mesh_2d``) shards the batch
+    over the document axis for bulk scoring.  Under a 1-D mesh
+    beta/sigma replicate and the jitted E-step runs as pure data
+    parallelism (per-document Newton is independent, so no collectives
+    are semantically required).  Under a 2-D mesh beta additionally
+    shards its VOCAB axis — the serving configuration for models too
+    large to replicate per chip — and the E-step runs under shard_map
+    exactly as training does, assembling per-chunk beta_doc blocks
+    with one vocab-axis psum (ops/estep.py::_gather_beta).  Parity of
+    both paths with the single-device path is tested on the virtual
+    CPU mesh (tests/test_vocab_sharding.py, multichip gate E)."""
     import jax
     import jax.numpy as jnp
 
@@ -81,15 +125,12 @@ def infer_theta(
     from strutopy_tpu.models.state import STMState
 
     n_dev = 1
+    n_vocab = 1
     if mesh is not None:
         from strutopy_tpu.parallel.mesh import DOC_AXIS, VOCAB_AXIS
 
-        if VOCAB_AXIS in mesh.axis_names and mesh.shape[VOCAB_AXIS] > 1:
-            raise NotImplementedError(
-                "vocab-sharded (2-D mesh) serving is not supported: "
-                "beta stays replicated in infer_theta — pass a 1-D "
-                "document mesh (parallel.mesh.make_mesh)"
-            )
+        if VOCAB_AXIS in mesh.axis_names:
+            n_vocab = int(mesh.shape[VOCAB_AXIS])
         n_dev = int(mesh.shape[DOC_AXIS])
 
     V = beta.shape[-1]
@@ -121,6 +162,14 @@ def infer_theta(
     N_new = corpus.N
     K = beta.shape[-2]
 
+    if n_vocab > 1 and V % n_vocab:
+        raise ValueError(
+            f"model vocabulary V={V} is not divisible by the "
+            f"{n_vocab}-way vocab mesh axis; pad the vocabulary "
+            "(PaddedCorpus(..., V=...)) to a multiple, as the training "
+            "fit did"
+        )
+
     plan = make_bucket_plan(
         corpus, cfg.batch_size, n_devices=n_dev,
         max_buckets=cfg.max_buckets if cfg.auto_bucket else 1,
@@ -128,9 +177,18 @@ def infer_theta(
     buckets = split_corpus_by_plan(corpus, plan)
     N_pad = plan.n_storage
 
-    mu_storage = np.concatenate(
-        gather_per_bucket(np.asarray(mu_user, np.float32), plan), axis=0
-    )
+    mu_user32 = np.asarray(mu_user, np.float32)
+    if n_vocab > 1:
+        # shard_map path: per-doc state lives in DEVICE-major/
+        # bucket-minor storage order (the training layout), so each
+        # device's doc shard aligns with its per-bucket corpus slices
+        mu_storage = np.zeros((N_pad, mu_user32.shape[1]), np.float32)
+        mu_storage[plan.storage_index] = mu_user32
+    else:
+        # eager / jit-global path: bucket-major front-packed
+        mu_storage = np.concatenate(
+            gather_per_bucket(mu_user32, plan), axis=0
+        )
 
     if aspects_user is None:
         aspects_user = np.zeros(N_new, np.int32)
@@ -155,6 +213,21 @@ def infer_theta(
         opt_iters=jnp.zeros((N_pad,), jnp.int32),
         straggler_overflow=jnp.zeros((), jnp.int32),
     )
+    if mesh is not None and n_vocab > 1:
+        from strutopy_tpu.parallel.sharding import shard_corpus, shard_state
+
+        data = shard_corpus(mesh, data)
+        state = shard_state(mesh, state, content=beta.ndim == 3)
+        eta, theta = _sharded_2d_step(
+            mesh, cfg, tuple(plan.batch_sizes), plan.n_buckets,
+            beta.ndim == 3,
+        )(state, data)
+        # device-major storage order: storage_index maps user doc i to
+        # its row directly (same de-permutation as STM.theta)
+        return (
+            np.asarray(theta)[plan.storage_index],
+            np.asarray(eta)[plan.storage_index],
+        )
     if mesh is not None:
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P

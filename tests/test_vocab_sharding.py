@@ -238,3 +238,44 @@ def test_vocab_sharded_fused_with_overflow(toy_corpus, toy_dictionary,
         np.asarray(mv.last_bounds), np.asarray(m1.last_bounds), rtol=2e-4
     )
     np.testing.assert_allclose(mv.beta, m1.beta, atol=2e-4)
+
+
+@needs8
+def test_vocab_sharded_serving_matches_single_device(
+    toy_corpus, toy_dictionary, toy_metadata
+):
+    """Serving under a 2-D docs x vocab mesh (VERDICT r3 next #6): the
+    shard_map inference path — beta vocab-sharded, one vocab-axis psum
+    per beta_doc gather, exactly training's recipe — must reproduce
+    the single-device theta/eta, including with multiple length
+    buckets and a prevalence prior."""
+    from strutopy_tpu.models.serving import infer_theta
+    from strutopy_tpu.parallel.mesh import make_mesh
+
+    kwargs = _fit_kwargs(toy_corpus, toy_dictionary, toy_metadata)
+    m = STM(**kwargs)
+    m.expectation_maximization(saving=False)
+
+    docs = toy_corpus.test_docs if hasattr(toy_corpus, "test_docs") else None
+    if not docs:
+        docs = kwargs["documents"]
+    beta = np.asarray(m.beta, np.float32)
+    sigma = np.asarray(m.sigma, np.float32)
+    gamma = np.asarray(m.gamma, np.float64)
+    X = np.asarray(toy_metadata[: len(docs)], np.float64)
+    mu = (np.c_[np.ones(len(docs)), X] @ gamma.T).astype(np.float32)
+
+    t1, e1 = infer_theta(beta, sigma, mu, docs, m.config)
+    t2d, e2d = infer_theta(beta, sigma, mu, docs, m.config,
+                           mesh=make_mesh_2d(2, 4))
+    np.testing.assert_allclose(t2d, t1, atol=1e-5)
+    np.testing.assert_allclose(e2d, e1, atol=1e-4)
+
+    # parity with the 1-D mesh path too (different storage layouts)
+    t1d, _ = infer_theta(beta, sigma, mu, docs, m.config, mesh=make_mesh(8))
+    np.testing.assert_allclose(t2d, t1d, atol=1e-5)
+
+    # indivisible vocab fails loudly, not with a silent gather-clamp
+    with pytest.raises(ValueError, match="divisible"):
+        infer_theta(beta[:, :-1], sigma, mu,
+                    [[(0, 1)]], m.config, mesh=make_mesh_2d(2, 4))
