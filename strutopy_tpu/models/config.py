@@ -96,6 +96,10 @@ class STMConfig:
     # twice); while_loop stays in XLA.  Supersedes the stage flags.
     pallas_iter: bool = False
     pallas_block: int = 8
+    # lax.map the pallas_cg call over sub-chunks of this many docs
+    # (0 = off): lets the E-step batch exceed the remote Mosaic
+    # compiler's input-size ceiling at K>=400 (ops/estep.py)
+    cg_chunk_docs: int = 0
     # bf16 beta_doc for the Newton search path (finalize stays f32)
     newton_bf16_beta: bool = False
     # nu inverse strategy: "blocked" (straight-line blocked Cholesky +

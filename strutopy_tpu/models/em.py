@@ -75,6 +75,7 @@ def _newton_cfg(cfg: STMConfig) -> NewtonConfig:
         pallas_ls=cfg.pallas_ls,
         pallas_iter=cfg.pallas_iter,
         pallas_block=cfg.pallas_block,
+        cg_chunk_docs=cfg.cg_chunk_docs,
         bf16_beta=cfg.newton_bf16_beta,
         nu_method=cfg.nu_method,
         chol_block=cfg.chol_block,

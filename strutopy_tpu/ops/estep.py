@@ -89,6 +89,14 @@ class NewtonConfig(NamedTuple):
     # Supersedes the three stage flags when set.
     pallas_iter: bool = False
     pallas_block: int = 8  # docs per kernel program
+    # split the pallas_cg call into lax.map sub-chunks of this many
+    # docs (0 = off).  At K>=400 the remote Mosaic compiler 500s when
+    # the kernel's INPUT arrays exceed ~64 (K-1)^2 Hessians even though
+    # the per-block VMEM footprint is unchanged; chunking keeps the
+    # E-step batch large (better MXU utilization everywhere else)
+    # while each pallas_call sees a compilable slice.  Bit-identical:
+    # the kernel is per-doc-block math either way.
+    cg_chunk_docs: int = 0
     # store the Newton loop's beta_doc operand in bfloat16: halves the
     # dominant in-loop HBM read ((B, K, L) per f/g/H call and per Armijo
     # sweep).  Only the SEARCH PATH sees the rounded values; the
@@ -342,10 +350,21 @@ def _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg: NewtonConfig,
         if cfg.pallas_cg:
             from strutopy_tpu.ops.pallas_stages import pallas_cg_impl
 
-            p = pallas_cg_impl(
-                H, g, iters=cg_iters, bf16=cfg.bf16_hessian,
-                block_docs=cfg.pallas_block,
-            )
+            ck = cfg.cg_chunk_docs
+            if ck and H.shape[0] > ck and H.shape[0] % ck == 0:
+                nc, Km1 = H.shape[0] // ck, g.shape[1]
+                p = jax.lax.map(
+                    lambda hg: pallas_cg_impl(
+                        hg[0], hg[1], iters=cg_iters,
+                        bf16=cfg.bf16_hessian, block_docs=cfg.pallas_block,
+                    ),
+                    (H.reshape(nc, ck, Km1, Km1), g.reshape(nc, ck, Km1)),
+                ).reshape(H.shape[0], Km1)
+            else:
+                p = pallas_cg_impl(
+                    H, g, iters=cg_iters, bf16=cfg.bf16_hessian,
+                    block_docs=cfg.pallas_block,
+                )
         else:
             p = _cg_batched(
                 H, g, cg_iters, bf16=cfg.bf16_hessian, mosaic_safe=cfg.mosaic_safe

@@ -55,6 +55,48 @@ def test_cg_kernel_matches_xla():
     np.testing.assert_allclose(x1, x0, rtol=2e-4, atol=1e-5)
 
 
+def test_cg_chunked_matches_unchunked():
+    """cg_chunk_docs (ops/estep.py): lax.map-ing pallas_cg over doc
+    sub-chunks must be bit-identical to one whole-batch call — it is
+    the same per-block kernel, just fewer docs per pallas_call (the
+    K>=400 remote-Mosaic-ceiling workaround)."""
+    beta_doc, counts, eta, mu, siginv, Nd = _chunk(seed=3)
+    _f, g, H, _, _ = estep._f_g_H_batched(eta, beta_doc, counts, mu, siginv,
+                                          Nd, bf16=False)
+    whole = pallas_cg_impl(H, g, iters=8, bf16=False, interpret=True)
+    B, Km1 = g.shape
+    ck = B // 2
+    chunked = jax.lax.map(
+        lambda hg: pallas_cg_impl(hg[0], hg[1], iters=8, bf16=False,
+                                  interpret=True),
+        (H.reshape(2, ck, Km1, Km1), g.reshape(2, ck, Km1)),
+    ).reshape(B, Km1)
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(whole))
+
+    # and the config knob routes through the full E-step dispatch
+    # (pallas kernels auto-interpret off-TPU): chunked == unchunked
+    from strutopy_tpu.ops.estep import NewtonConfig, run_estep
+    from strutopy_tpu.ops.linalg import precompute_sigma
+
+    rng = np.random.default_rng(6)
+    B2, K2, L2, V2 = 32, 9, 64, 300
+    beta2 = jnp.asarray(rng.dirichlet(np.ones(V2), size=K2), jnp.float32)
+    words2 = jnp.asarray(
+        np.stack([rng.choice(V2, L2, replace=False) for _ in range(B2)]),
+        jnp.int32)
+    counts2 = jnp.asarray(rng.integers(1, 4, (B2, L2)), jnp.float32)
+    mu2 = jnp.asarray(rng.normal(0, 0.3, (B2, K2 - 1)), jnp.float32)
+    sig2 = jnp.asarray(np.eye(K2 - 1) + 0.1, jnp.float32)
+    siginv2, sent2 = precompute_sigma(sig2)
+    args = (beta2, mu2, jnp.zeros((B2, K2 - 1), jnp.float32), siginv2, sent2,
+            words2, counts2, jnp.zeros(B2, jnp.int32), jnp.ones(B2, bool))
+    base = NewtonConfig(bf16_hessian=False, pallas_cg=True, pallas_block=8)
+    one = run_estep(*args, cfg=base, batch_size=16)
+    two = run_estep(*args, cfg=base._replace(cg_chunk_docs=8), batch_size=16)
+    np.testing.assert_array_equal(np.asarray(two.eta), np.asarray(one.eta))
+    assert float(two.bound) == float(one.bound)
+
+
 def test_linesearch_kernel_matches_xla():
     beta_doc, counts, eta, mu, siginv, Nd = _chunk(seed=2)
     _f, g, H, _, _ = estep._f_g_H_batched(eta, beta_doc, counts, mu, siginv,
