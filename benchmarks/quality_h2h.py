@@ -250,4 +250,5 @@ def main():
                results=results)
 
 
-main()
+if __name__ == "__main__":
+    main()
