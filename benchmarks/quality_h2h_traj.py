@@ -1,0 +1,220 @@
+"""Quality head-to-head diagnosis: heldout-vs-EM-iteration trajectories
+and cross-scoring on wiki K=50.
+
+The wiki head-to-head at the reference's committed config (random init,
+25 EM iterations fixed) has us ~0.06 nats behind on mean heldout over 5
+seeds (results_quality_h2h_seeds.json) with the straggler budget ruled
+out (full_budget == default).  Remaining hypotheses:
+
+  H1 (early stopping): at N=1015 / K=50 / V=13852 the model overfits
+     the completion task long before iteration 25; the reference's
+     damped gradient (PARITY_NOTES #1 — its df is missing the e^eta
+     factor, so its per-doc eta optimization systematically
+     under-steps) acts as accidental regularization.  If so, OUR
+     heldout trajectory peaks early — above the reference's 25-iter
+     number — and declines after; "matched heldout" is then a matter
+     of early stopping on the validation metric, which any
+     practitioner does, not of matching the bug.
+  H2 (intercept): we fit the prevalence intercept (fit_intercept=True
+     default); the reference computes and then discards it
+     (PARITY_NOTES #3, reference stm.py:697-704).  A mis-centered mu
+     pulls eta toward the (zero) prior — again regularization.
+  H3 (beta vs theta side): cross-scoring ours-beta x ref-theta and
+     ref-beta x ours-theta localizes which factor carries the gap.
+
+This script measures all three:
+
+  python benchmarks/quality_h2h_traj.py ours    # ~5 min TPU (warm)
+  python benchmarks/quality_h2h_traj.py ref     # ~16 min CPU
+  python benchmarks/quality_h2h_traj.py cross   # instant (reads .npz)
+
+`ours` steps model_beta/model_theta jointly one EM iteration at a time
+(the private _em_step, same graph the normal driver runs) and scores
+heldout after every iteration, for 5 seeds x {default, no_intercept};
+saves seed-12345 final arrays.  `ref` drives the reference's own
+E_step/M_step loop (reference stm.py:859-875) manually with per-
+iteration snapshots; saves its final arrays.  `cross` mixes the two
+sides' final (theta, beta).
+
+Writes benchmarks/results_quality_h2h_traj.json (incremental, crash
+safe) and benchmarks/h2h_arrays_{ours,ref}.npz.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/strutopy_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+HERE = os.path.join(os.path.abspath(os.getcwd()), "benchmarks")
+sys.path.insert(0, HERE)
+from quality_h2h import (  # noqa: E402
+    load_wiki,
+    split_completion,
+    stub_ref_deps,
+)
+
+OUT = os.path.join(HERE, "results_quality_h2h_traj.json")
+SEEDS = (12345, 777, 2024, 31337, 99)
+K, ITERS = 50, 25
+
+
+def _load():
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            return json.load(f)
+    return {"config": {"corpus": "wiki", "K": K, "iters": ITERS,
+                       "seeds": list(SEEDS)}}
+
+
+def _save(results):
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+def _heldout(test_2, theta_test1, beta):
+    from strutopy_tpu.eval.heldout import eval_heldout
+
+    return float(eval_heldout(test_2, np.asarray(theta_test1, np.float64),
+                              np.asarray(beta, np.float64)))
+
+
+def _step_ours(m, it):
+    """One EM iteration via the same compiled step the driver uses."""
+    cfg = m.config
+    step = (m._em_step_cold
+            if m._em_step_cold is not None and it < cfg.newton_warmup_iters
+            else m._em_step)
+    m._state = step(m._state, m._data)
+
+
+def run_ours():
+    from strutopy_tpu.models.config import STMConfig
+    from strutopy_tpu.models.stm import STM
+
+    docs, vocab, X = load_wiki()
+    train, test, test_1, test_2 = split_completion(docs)
+    docs_beta, docs_theta = train + test, train + test_1
+    n_test1 = len(test_1)
+
+    results = _load()
+    base = dict(K=K, model_type="STM", mode="ols", init_type="random",
+                max_em_iter=ITERS, convergence_threshold=1e-5,
+                newton_pass1_iters=6, newton_straggler_frac=0.25,
+                newton_warmup_iters=2)
+    variants = {"default": {}, "no_intercept": dict(fit_intercept=False)}
+    ours = results.setdefault("ours", {})
+    for vname, over in variants.items():
+        cfg = STMConfig(**dict(base, **over))
+        mb = STM(documents=docs_beta, dictionary=vocab,
+                 X=X[: len(docs_beta)], config=cfg, seed=SEEDS[0])
+        mt = STM(documents=docs_theta, dictionary=vocab,
+                 X=X[: len(docs_theta)], config=cfg, seed=SEEDS[0])
+        rows = []
+        for seed in SEEDS:
+            mb.reinitialize(seed)
+            mt.reinitialize(seed)
+            traj = []
+            for it in range(ITERS):
+                _step_ours(mb, it)
+                _step_ours(mt, it)
+                traj.append(round(_heldout(
+                    test_2, mt.theta[-n_test1:], mb.beta), 5))
+            rows.append({"seed": seed, "heldout_by_iter": traj,
+                         "final": traj[-1],
+                         "peak": max(traj),
+                         "peak_iter": int(np.argmax(traj)) + 1})
+            print(f"  [ours/{vname}] seed {seed}: final {traj[-1]:.4f}, "
+                  f"peak {max(traj):.4f} @ iter {np.argmax(traj) + 1}",
+                  flush=True)
+            if vname == "default" and seed == SEEDS[0]:
+                np.savez(os.path.join(HERE, "h2h_arrays_ours.npz"),
+                         beta=np.asarray(mb.beta, np.float64),
+                         theta_test1=np.asarray(
+                             mt.theta[-n_test1:], np.float64))
+        finals = [r["final"] for r in rows]
+        peaks = [r["peak"] for r in rows]
+        ours[vname] = {
+            "seeds": rows,
+            "final_mean": round(float(np.mean(finals)), 5),
+            "final_sd": round(float(np.std(finals)), 5),
+            "peak_mean": round(float(np.mean(peaks)), 5),
+            "peak_iter_median": int(np.median(
+                [r["peak_iter"] for r in rows])),
+        }
+        results["ours"] = ours
+        _save(results)
+    print("wrote", OUT, flush=True)
+
+
+def run_ref():
+    import time
+
+    stub_ref_deps()
+    from modules.stm import STM as RefSTM
+
+    docs, vocab, X = load_wiki()
+    train, test, test_1, test_2 = split_completion(docs)
+    docs_beta, docs_theta = train + test, train + test_1
+    n_test1 = len(test_1)
+
+    results = _load()
+    models, t0 = {}, time.perf_counter()
+    for tag, corpus in (("beta", docs_beta), ("theta", docs_theta)):
+        np.random.seed(12345)
+        models[tag] = RefSTM(
+            documents=corpus, dictionary=vocab, X=X[: len(corpus)],
+            init_type="random", model_type="STM", K=K,
+            convergence_threshold=1e-5, lda_beta=True, max_em_iter=ITERS,
+            kappa_interactions=False, sigma_prior=0, content=False,
+        )
+    traj = []
+    for it in range(ITERS):
+        # the reference's own loop body (stm.py:859-875), stepped so we
+        # can snapshot (theta, beta) after every M-step
+        for m in models.values():
+            beta_ss, sigma_ss = m.E_step()
+            m.M_step(beta_ss, sigma_ss)
+        theta1 = np.asarray(models["theta"].theta, np.float64)[-n_test1:]
+        beta = np.asarray(models["beta"].beta, np.float64)
+        if beta.ndim == 3:
+            beta = beta[0]
+        traj.append(round(_heldout(test_2, theta1, beta), 5))
+        print(f"  [ref] iter {it + 1}: {traj[-1]:.4f} "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    np.savez(os.path.join(HERE, "h2h_arrays_ref.npz"),
+             beta=beta, theta_test1=theta1)
+    results["reference"] = {
+        "heldout_by_iter": traj, "final": traj[-1],
+        "peak": max(traj), "peak_iter": int(np.argmax(traj)) + 1,
+        "wall_seconds_both_fits": round(time.perf_counter() - t0, 1),
+    }
+    _save(results)
+    print("wrote", OUT, flush=True)
+
+
+def run_cross():
+    docs, vocab, X = load_wiki()
+    _, _, _, test_2 = split_completion(docs)
+    ours = np.load(os.path.join(HERE, "h2h_arrays_ours.npz"))
+    ref = np.load(os.path.join(HERE, "h2h_arrays_ref.npz"))
+    results = _load()
+    results["cross_seed12345"] = {
+        "ours_beta_ours_theta": round(_heldout(
+            test_2, ours["theta_test1"], ours["beta"]), 5),
+        "ref_beta_ref_theta": round(_heldout(
+            test_2, ref["theta_test1"], ref["beta"]), 5),
+        "ours_beta_ref_theta": round(_heldout(
+            test_2, ref["theta_test1"], ours["beta"]), 5),
+        "ref_beta_ours_theta": round(_heldout(
+            test_2, ours["theta_test1"], ref["beta"]), 5),
+    }
+    _save(results)
+    print(json.dumps(results["cross_seed12345"], indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    {"ours": run_ours, "ref": run_ref, "cross": run_cross}[sys.argv[1]]()
