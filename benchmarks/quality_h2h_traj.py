@@ -150,7 +150,66 @@ def run_ours():
     print("wrote", OUT, flush=True)
 
 
-def run_ref():
+def run_ours_long():
+    """Ours, default config, ITERS_LONG iterations: the equal-wall-clock
+    comparison.  The 25-iter trajectories are still rising at iter 25
+    (peak_iter 23-25 on every seed), so the reference's committed
+    budget truncates BOTH sides mid-climb — but at ~2,000x throughput
+    we can run 4x the iterations in ~1/500 of the reference's wall
+    clock.  Records heldout every iteration to 100 for the same 5
+    seeds."""
+    from strutopy_tpu.models.config import STMConfig
+    from strutopy_tpu.models.stm import STM
+
+    ITERS_LONG = int(os.environ.get("H2H_ITERS_LONG", 100))
+    docs, vocab, X = load_wiki()
+    train, test, test_1, test_2 = split_completion(docs)
+    docs_beta, docs_theta = train + test, train + test_1
+    n_test1 = len(test_1)
+
+    results = _load()
+    cfg = STMConfig(K=K, model_type="STM", mode="ols", init_type="random",
+                    max_em_iter=ITERS_LONG, convergence_threshold=1e-5,
+                    newton_pass1_iters=6, newton_straggler_frac=0.25,
+                    newton_warmup_iters=2)
+    mb = STM(documents=docs_beta, dictionary=vocab,
+             X=X[: len(docs_beta)], config=cfg, seed=SEEDS[0])
+    mt = STM(documents=docs_theta, dictionary=vocab,
+             X=X[: len(docs_theta)], config=cfg, seed=SEEDS[0])
+    rows = []
+    for seed in SEEDS:
+        mb.reinitialize(seed)
+        mt.reinitialize(seed)
+        traj = []
+        for it in range(ITERS_LONG):
+            _step_ours(mb, it)
+            _step_ours(mt, it)
+            traj.append(round(_heldout(
+                test_2, mt.theta[-n_test1:], mb.beta), 5))
+        rows.append({"seed": seed, "heldout_by_iter": traj,
+                     "final": traj[-1], "peak": max(traj),
+                     "peak_iter": int(np.argmax(traj)) + 1,
+                     "at_25": traj[24]})
+        print(f"  [ours_long] seed {seed}: final {traj[-1]:.4f}, "
+              f"peak {max(traj):.4f} @ iter {np.argmax(traj) + 1}, "
+              f"at_25 {traj[24]:.4f}", flush=True)
+    finals = [r["final"] for r in rows]
+    peaks = [r["peak"] for r in rows]
+    # separate file: ref/ref_seeds may be writing OUT concurrently
+    out_long = OUT.replace(".json", "_long.json")
+    with open(out_long, "w") as f:
+        json.dump({"ours_long": {
+            "iters": ITERS_LONG,
+            "seeds": rows,
+            "final_mean": round(float(np.mean(finals)), 5),
+            "peak_mean": round(float(np.mean(peaks)), 5),
+            "peak_iter_median": int(np.median(
+                [r["peak_iter"] for r in rows])),
+        }}, f, indent=2)
+    print("wrote", out_long, flush=True)
+
+
+def run_ref(seed=12345, save_arrays=True):
     import time
 
     stub_ref_deps()
@@ -164,7 +223,7 @@ def run_ref():
     results = _load()
     models, t0 = {}, time.perf_counter()
     for tag, corpus in (("beta", docs_beta), ("theta", docs_theta)):
-        np.random.seed(12345)
+        np.random.seed(seed)
         models[tag] = RefSTM(
             documents=corpus, dictionary=vocab, X=X[: len(corpus)],
             init_type="random", model_type="STM", K=K,
@@ -183,17 +242,35 @@ def run_ref():
         if beta.ndim == 3:
             beta = beta[0]
         traj.append(round(_heldout(test_2, theta1, beta), 5))
-        print(f"  [ref] iter {it + 1}: {traj[-1]:.4f} "
+        print(f"  [ref seed={seed}] iter {it + 1}: {traj[-1]:.4f} "
               f"({time.perf_counter() - t0:.0f}s)", flush=True)
-    np.savez(os.path.join(HERE, "h2h_arrays_ref.npz"),
-             beta=beta, theta_test1=theta1)
-    results["reference"] = {
+    if save_arrays:
+        np.savez(os.path.join(HERE, "h2h_arrays_ref.npz"),
+                 beta=beta, theta_test1=theta1)
+    row = {
+        "seed": seed,
         "heldout_by_iter": traj, "final": traj[-1],
         "peak": max(traj), "peak_iter": int(np.argmax(traj)) + 1,
         "wall_seconds_both_fits": round(time.perf_counter() - t0, 1),
     }
+    if seed == 12345:
+        results["reference"] = row
+    ref_seeds = results.setdefault("reference_seeds", {})
+    ref_seeds[str(seed)] = row
+    finals = [r["final"] for r in ref_seeds.values()]
+    results["reference_final_mean"] = round(float(np.mean(finals)), 5)
+    results["reference_final_sd"] = round(float(np.std(finals)), 5)
     _save(results)
     print("wrote", OUT, flush=True)
+
+
+def run_ref_seeds():
+    """The remaining 4 seeds, finals + trajectories (CPU, ~16 min each).
+    The committed wiki gap compared OUR 5-seed mean to the reference's
+    single seed-12345 draw; this records the reference's own seed
+    distribution so means compare to means."""
+    for seed in SEEDS[1:]:
+        run_ref(seed=seed, save_arrays=False)
 
 
 def run_cross():
@@ -217,4 +294,5 @@ def run_cross():
 
 
 if __name__ == "__main__":
-    {"ours": run_ours, "ref": run_ref, "cross": run_cross}[sys.argv[1]]()
+    {"ours": run_ours, "ours_long": run_ours_long, "ref": run_ref,
+     "ref_seeds": run_ref_seeds, "cross": run_cross}[sys.argv[1]]()
