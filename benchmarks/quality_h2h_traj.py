@@ -349,7 +349,43 @@ def run_cross():
     print(json.dumps(results["cross_seed12345"], indent=2), flush=True)
 
 
+def run_cross_aligned():
+    """Cross-scoring with the reference's topics Hungarian-matched to
+    ours first (eval/align.py::align_topics, JS on beta).  The naive
+    cross cells are dominated by topic-label permutation mismatch —
+    theta column k only means anything under ITS OWN beta row k — so
+    the unaligned mix is a lower bound, not a factor diagnosis.  After
+    permuting ref's beta rows AND theta columns into our topic order,
+    the mixed cells isolate which factor (beta or theta) carries the
+    heldout difference."""
+    from strutopy_tpu.eval.align import align_topics
+
+    docs, vocab, X = load_wiki()
+    _, _, _, test_2 = split_completion(docs)
+    ours = np.load(os.path.join(HERE, "h2h_arrays_ours.npz"))
+    ref = np.load(os.path.join(HERE, "h2h_arrays_ref.npz"))
+    al = align_topics([ours["beta"], ref["beta"]], reference=0,
+                      metric="js")
+    perm = al["perms"][1]
+    # ref topic perm[i] is matched to our topic i: permute ref's beta
+    # rows and theta columns into our topic order
+    ref_beta = ref["beta"][perm]
+    ref_theta = ref["theta_test1"][:, perm]
+    results = _load()
+    results["cross_seed12345_aligned"] = {
+        "mean_matched_js": round(float(al["matched"][1].mean()), 4),
+        "ours_beta_ref_theta": round(_heldout(
+            test_2, ref_theta, ours["beta"]), 5),
+        "ref_beta_ours_theta": round(_heldout(
+            test_2, ours["theta_test1"], ref_beta), 5),
+    }
+    _save(results)
+    print(json.dumps(results["cross_seed12345_aligned"], indent=2),
+          flush=True)
+
+
 if __name__ == "__main__":
     {"ours": run_ours, "ours_long": run_ours_long,
      "ours_refinit": run_ours_refinit, "ref": run_ref,
-     "ref_seeds": run_ref_seeds, "cross": run_cross}[sys.argv[1]]()
+     "ref_seeds": run_ref_seeds, "cross": run_cross,
+     "cross_aligned": run_cross_aligned}[sys.argv[1]]()
