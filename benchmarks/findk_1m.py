@@ -52,7 +52,11 @@ ITERS, WARMUP = 10, 2
 HERE = (os.path.dirname(os.path.abspath(__file__))
         if "__file__" in globals() and "<" not in str(globals().get("__file__"))
         else os.path.join(os.getcwd(), "benchmarks"))
-OUT = os.path.join(HERE, "results_findk_1m.json")
+OUT = os.path.join(
+    HERE,
+    "results_findk_1m.json"
+    if os.environ.get("FINDK_INIT", "spectral") == "spectral"
+    else f"results_findk_1m_{os.environ['FINDK_INIT']}.json")
 
 
 def gen_corpus():
@@ -157,8 +161,10 @@ def main():
         "N": N, "V": V, "K_true": K_TRUE, "n_test": N_TEST,
         "K_grid": list(K_GRID), "em_iters": ITERS,
         "protocol": "streamed fits (2 cold + 8 two-pass iters), "
-                    "spectral init from a 100k subsample, fast-transform "
-                    "completion, f64 per-doc scoring",
+                    + ("spectral init from a 100k subsample"
+                       if os.environ.get("FINDK_INIT", "spectral")
+                       == "spectral" else "random init (seed 0)")
+                    + ", fast-transform completion, f64 per-doc scoring",
     }, "by_K": {}}
 
     def fit_and_score(K, beta0, tag, seed=0):
@@ -206,13 +212,23 @@ def main():
                 "transform_seconds": round(tr_s, 1),
                 "final_bound": bounds[-1]}
 
+    # FINDK_INIT=random: the first (spectral) pass found the
+    # 100k-subsample spectral init at K<=100 produces DAMAGED fits on
+    # this peaked-theta corpus (bound=nan, heldout 0.015-0.06 nats
+    # below a random-init fit of the same K, 8x slower transforms), so
+    # the grid must be comparable-health: random init everywhere.
+    init_mode = os.environ.get("FINDK_INIT", "spectral")
     for K in K_GRID:
         print(f"=== K={K} ===", flush=True)
-        t0 = time.time()
-        beta0 = spectral_init(sub_pc, K, V)
-        print(f"  spectral init (100k subsample): {time.time()-t0:.0f}s",
-              flush=True)
-        results["by_K"][str(K)] = fit_and_score(K, beta0, f"K{K}/spectral")
+        if init_mode == "spectral":
+            t0 = time.time()
+            beta0 = spectral_init(sub_pc, K, V)
+            print(f"  spectral init (100k subsample): {time.time()-t0:.0f}s",
+                  flush=True)
+        else:
+            beta0 = None
+        results["by_K"][str(K)] = fit_and_score(
+            K, beta0, f"K{K}/{init_mode}")
         with open(OUT, "w") as f:
             json.dump(results, f, indent=2)
 
