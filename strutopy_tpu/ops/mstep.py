@@ -385,18 +385,7 @@ def _poisson_newton_batch(Y, m, Xd, offset, alpha, n, iters, W0,
         inverse (ops/linalg.py) — straight-line batched einsums instead
         of the P-step sequential While loops XLA lowers LU/Cholesky to
         on TPU (the same fix as the E-step finalize, RESULTS.md),
-      * line search: 6 halving steps evaluated for every word at once,
-        scored by the CANCELLATION-FREE objective delta
-          dF(t) = (1/n) sum_r [exp(z_r)·expm1(t dz_r) - y_r t dz_r]
-                  + alpha (t W·D + t²/2 ||D||²)
-        instead of F(W+tD) - F(W): each term's error is O(eps·|dF|),
-        not O(eps·|F|), so genuine improvements below the f32
-        OBJECTIVE noise floor stay visible.  (Round-3 stall, VERDICT
-        r3 weak #5: near-converged words re-probed one full Newton
-        body per EM call forever because their true improvements were
-        smaller than eps·|F|; with the delta form they take the steps
-        and reach the gradient tolerance, after which the pre-loop
-        check skips them outright.)
+      * line search: 6 halving steps evaluated for every word at once.
     The while_loop exits when every word's gradient max-norm is below
     ``tol`` (the reference fits each word to sklearn tol=1e-5,
     stm.py:820) — warm-started solves (kappa0 from the previous EM
@@ -414,12 +403,19 @@ def _poisson_newton_batch(Y, m, Xd, offset, alpha, n, iters, W0,
     base = m[None, :] + offset[:, None]  # (R, Vc)
     ts = jnp.asarray([1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125], dtype)
 
+    def obj(W):
+        Z = jnp.clip(base + Xd @ W, -lp_clip, lp_clip)
+        return (
+            jnp.sum(jnp.exp(Z) - Y * Z, axis=0) / n
+            + 0.5 * alpha * jnp.sum(W * W, axis=0)
+        )  # (Vc,)
+
     def cond(carry):
-        _, it, done = carry
+        _, _, it, done = carry
         return (it < iters) & ~jnp.all(done)
 
     def body(carry):
-        W, it, done = carry
+        W, F, it, done = carry
         Z = jnp.clip(base + Xd @ W, -lp_clip, lp_clip)
         lam = jnp.exp(Z)  # (R, Vc)
         G = Xd.T @ ((lam - Y) / n) + alpha * W  # (P, Vc)
@@ -434,34 +430,33 @@ def _poisson_newton_batch(Y, m, Xd, offset, alpha, n, iters, W0,
         D = -jnp.einsum("vqp,vq->pv", Wi, U,
                         preferred_element_type=dtype)  # (P, Vc)
 
-        # halving line search on the cancellation-free objective delta
-        # (docstring): dF(t) per (step, word) pair at once.  Also
-        # cheaper than evaluating F(W + tD) outright — the only matmul
-        # is the (R, P) @ (P, Vc) linear-predictor change dZ.
-        dZ = jnp.clip(Xd @ D, -lp_clip, lp_clip)  # (R, Vc)
-        ydz = jnp.sum(Y * dZ, axis=0)  # (Vc,)
-        WD = jnp.sum(W * D, axis=0)
-        DD = jnp.sum(D * D, axis=0)
-        tcol = ts[:, None]
-        deltas = (
-            jnp.einsum("rv,trv->tv", lam,
-                       jnp.expm1(tcol[:, :, None] * dZ[None]),
-                       preferred_element_type=dtype) / n
-            - tcol * ydz[None] / n
-            + alpha * (tcol * WD[None] + 0.5 * tcol * tcol * DD[None])
+        # halving line search, all (step, word) pairs at once; the
+        # candidate objectives are evaluated on W + t*D directly (not
+        # incrementally from XW + t*XD) so accepted steps agree with
+        # the next iteration's fresh evaluation to the last f32 bit
+        Ws = W[None] + ts[:, None, None] * D[None]  # (T, P, Vc)
+        Zs = jnp.clip(
+            base[None] + jnp.einsum("rp,tpv->trv", Xd, Ws,
+                                    preferred_element_type=dtype),
+            -lp_clip, lp_clip,
+        )  # (T, R, Vc)
+        Fs = (
+            jnp.sum(jnp.exp(Zs) - Y[None] * Zs, axis=1) / n
+            + 0.5 * alpha * jnp.sum(Ws * Ws, axis=1)
         )  # (T, Vc)
-        best = jnp.argmin(deltas, axis=0)  # (Vc,)
+        best = jnp.argmin(Fs, axis=0)  # (Vc,)
         t_best = ts[best]
-        d_new = jnp.min(deltas, axis=0)
-        improved = d_new < 0.0
+        f_new = jnp.min(Fs, axis=0)
+        improved = f_new < F
         gnorm = jnp.max(jnp.abs(G), axis=0)  # (Vc,)
         step = improved & ~done
         W = jnp.where(step[None, :], W + t_best[None, :] * D, W)
-        # a word is done when its gradient meets tol or no halving step
-        # lowers the (convex) objective — with the delta form the
-        # latter means a true stationary point, not the f32 floor
+        F = jnp.where(step, f_new, F)
+        # a word is done when its gradient meets tol or the line search
+        # stalls (no halving step improves a convex objective only at
+        # the f32 noise floor)
         done = done | (gnorm < tol) | ~improved
-        return (W, it + 1, done)
+        return (W, F, it + 1, done)
 
     # pre-loop convergence check: words whose warm start already meets
     # tol skip the whole body (one gradient eval is ~10x cheaper than a
@@ -471,8 +466,8 @@ def _poisson_newton_batch(Y, m, Xd, offset, alpha, n, iters, W0,
     Z0 = jnp.clip(base + Xd @ W0, -lp_clip, lp_clip)
     G0 = Xd.T @ ((jnp.exp(Z0) - Y) / n) + alpha * W0
     done0 = jnp.max(jnp.abs(G0), axis=0) < tol
-    W, n_it, _ = jax.lax.while_loop(
-        cond, body, (W0, jnp.zeros((), jnp.int32), done0)
+    W, _, n_it, _ = jax.lax.while_loop(
+        cond, body, (W0, obj(W0), jnp.zeros((), jnp.int32), done0)
     )
     return W, n_it
 
