@@ -158,7 +158,11 @@ def topic_graph_huge(
     adj_raw = _mb_adjacency(Z, lambdas[sel: sel + 1])[0]
     # R-stm keeps only positive-association edges in the reported graph
     # (topicCorr's posadj): mask by the empirical correlation of theta.
-    adj = adj_raw & (np.corrcoef(theta.T) > 0)
+    # A zero-variance topic column makes corrcoef emit NaN rows (plus a
+    # RuntimeWarning); treat NaN as no-edge explicitly (ADVICE r4).
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = np.corrcoef(theta.T)
+    adj = adj_raw & (np.nan_to_num(corr) > 0)
     edges = [(int(i), int(j)) for i, j in zip(*np.nonzero(np.triu(adj, 1)))]
     return {
         "adjacency": adj,

@@ -34,6 +34,12 @@ def _sharded_2d_step(mesh, cfg, bucket_batches, n_buckets: int, content: bool):
     key = (mesh, cfg, bucket_batches, n_buckets, content)
     step = _SHARDED_2D_STEPS.get(key)
     if step is None:
+        # bound the cache: long-lived serving processes that vary
+        # batch/bucket shapes or meshes would otherwise accumulate
+        # compiled executables and pin mesh objects forever (ADVICE r4).
+        # FIFO eviction; 16 shape classes cover any sane request mix.
+        while len(_SHARDED_2D_STEPS) >= 16:
+            _SHARDED_2D_STEPS.pop(next(iter(_SHARDED_2D_STEPS)))
         import jax
         from jax.sharding import PartitionSpec as P
 

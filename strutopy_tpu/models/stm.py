@@ -302,6 +302,7 @@ class STM:
                 else None
             )
             self.last_bounds = []
+            self.nonfinite_bound_iters = []
             self.time_processed = None
             self.docs_per_sec = None
             return
@@ -344,6 +345,7 @@ class STM:
         )
 
         self.last_bounds: list = []
+        self.nonfinite_bound_iters: list = []
         self.time_processed: Optional[float] = None
         self.docs_per_sec: Optional[float] = None
 
@@ -454,6 +456,7 @@ class STM:
             state = shard_state(self.mesh, state, cfg.content)
         self._state = state
         self.last_bounds = []
+        self.nonfinite_bound_iters = []
         self.time_processed = None
         self.docs_per_sec = None
         self._overflow_warned = False
@@ -510,6 +513,22 @@ class STM:
                 self._state = step(self._state, self._data)
                 bound = float(self._state.bound)
                 it_dt = time.time() - it_t0
+                if not np.isfinite(bound):
+                    # always-on sanitizer (VERDICT r4 #6): the reference
+                    # asserts on its bound in the hot path
+                    # (/root/reference/src/modules/stm.py:534,1117); a
+                    # non-finite ELBO means the fit mis-executed even
+                    # when theta/beta look sensible (the N=1M spectral
+                    # pathology surfaced only in a benchmark JSON).
+                    self.nonfinite_bound_iters.append(it)
+                    if len(self.nonfinite_bound_iters) == 1:
+                        logger.warning(
+                            "EM iteration %d: NON-FINITE bound (%r) — the "
+                            "fit is numerically damaged; check the init "
+                            "(model.nonfinite_bound_iters records every "
+                            "occurrence and save_model writes "
+                            "fit_health.json)", it, bound,
+                        )
                 if cfg.debug_checks:
                     from strutopy_tpu.utils.debug import validate_state
 
@@ -720,6 +739,14 @@ class STM:
             np.save(os.path.join(output_dir, "kappa_hat"), self.kappa)
         with open(os.path.join(output_dir, "lower_bound.pickle"), "wb") as f:
             pickle.dump(self.last_bounds, f)
+        # fit-health flag (VERDICT r4 #6): non-finite bounds propagate
+        # into the artifact set so downstream consumers see the damage
+        nfi = list(getattr(self, "nonfinite_bound_iters", []))
+        with open(os.path.join(output_dir, "fit_health.json"), "w") as f:
+            json.dump({
+                "bound_finite": not nfi,
+                "nonfinite_bound_iters": nfi,
+            }, f)
         with open(os.path.join(output_dir, "stm_config.json"), "w") as f:
             f.write(self.config.to_json())
         # beyond the reference artifact set: the vocabulary, so serving

@@ -26,6 +26,7 @@ and days of runtime long before memory matters (SURVEY §2.5).
 
 from __future__ import annotations
 
+import logging
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, List, Optional, Sequence, Tuple, Union
 
@@ -37,6 +38,8 @@ from strutopy_tpu.models.config import STMConfig
 from strutopy_tpu.models.em import CorpusData, GlobalStats, local_estep_stats
 from strutopy_tpu.models.state import STMState
 from strutopy_tpu.ops import mstep
+
+logger = logging.getLogger(__name__)
 
 # a part: (words (n, L), counts (n, L), aspects (n,), doc_ok (n,), D (n, P))
 Part = Tuple
@@ -103,6 +106,10 @@ class StreamedEM:
             self.n_parts = len(parts)
 
         self.prefetch = prefetch
+        # always-on finite-bound sanitizer (VERDICT r4 #6): streamed
+        # fits are where the N=1M non-finite bound mis-execution
+        # surfaced; count occurrences and warn loudly on the first
+        self.nonfinite_bound_count = 0
         # equal-shape contract (class docstring): pinned on first fetch,
         # checked on every later one — a ragged tail part would either
         # recompile the E-step per shape (minutes per graph through the
@@ -337,6 +344,15 @@ class StreamedEM:
             bound=stats_sum.bound,
             straggler_overflow=stats_sum.straggler_overflow,
         )
+        if not np.isfinite(float(np.asarray(stats_sum.bound))):
+            self.nonfinite_bound_count += 1
+            if self.nonfinite_bound_count == 1:
+                logger.warning(
+                    "streamed EM: NON-FINITE bound — the fit is "
+                    "numerically damaged even if theta/beta look "
+                    "sensible; check the init "
+                    "(StreamedEM.nonfinite_bound_count accumulates)"
+                )
         new_parts = [
             part_states[p]._replace(
                 eta=etas[p], theta=thetas[p], mu=mus[p], opt_iters=iters_l[p]

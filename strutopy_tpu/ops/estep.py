@@ -41,6 +41,7 @@ callbacks, so the same function runs under ``shard_map`` with a final
 from __future__ import annotations
 
 import functools
+import logging
 from typing import NamedTuple
 
 import jax
@@ -51,6 +52,8 @@ from strutopy_tpu.ops.linalg import (
     blocked_cholesky,
     cho_inverse,
 )
+
+logger = logging.getLogger(__name__)
 
 
 def _batch_diag(H):
@@ -351,6 +354,16 @@ def _batched_newton(beta_doc, counts, mu, eta0, siginv, cfg: NewtonConfig,
             from strutopy_tpu.ops.pallas_stages import pallas_cg_impl
 
             ck = cfg.cg_chunk_docs
+            if ck and H.shape[0] > ck and H.shape[0] % ck != 0:
+                # trace-time (shapes are static): a silent whole-batch
+                # fallback would re-trigger the remote Mosaic compile
+                # failure cg_chunk_docs exists to avoid (ADVICE r4)
+                logger.warning(
+                    "cg_chunk_docs=%d does not divide the E-step batch "
+                    "%d; falling back to one whole-batch pallas_cg call "
+                    "(pick a batch_size that is a multiple of "
+                    "cg_chunk_docs)", ck, H.shape[0],
+                )
             if ck and H.shape[0] > ck and H.shape[0] % ck == 0:
                 nc, Km1 = H.shape[0] // ck, g.shape[1]
                 p = jax.lax.map(

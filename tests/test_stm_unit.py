@@ -503,10 +503,8 @@ def test_theta_server_infer_text_requires_vocab(tmp_path, toy_corpus,
 def test_infer_theta_mesh_matches_single_device(toy_corpus, toy_dictionary,
                                                 toy_metadata):
     """Bulk serving under a 1-D document mesh: same theta/eta as the
-    single-device path (virtual 8-CPU mesh), and 2-D vocab-sharded
-    serving raises the explicit guard."""
-    import pytest
-
+    single-device path (virtual 8-CPU mesh); 2-D vocab-sharded serving
+    (guard lifted round 4, gate E2) matches too."""
     from strutopy_tpu.models.serving import infer_theta
     from strutopy_tpu.parallel.mesh import make_mesh, make_mesh_2d
 
@@ -534,9 +532,13 @@ def test_infer_theta_mesh_matches_single_device(toy_corpus, toy_dictionary,
     np.testing.assert_allclose(theta_m, theta_1, atol=1e-5)
     np.testing.assert_allclose(eta_m, eta_1, atol=1e-4)
 
-    with pytest.raises(NotImplementedError, match="vocab-sharded"):
-        infer_theta(beta, sigma, mu, test_docs, model.config,
-                    mesh=make_mesh_2d(2, 2))
+    # round 4 lifted the vocab-sharded guard (gate E2): 2-D serving now
+    # runs and must match the single-device path (full parity coverage
+    # in tests/test_vocab_sharding.py::test_serving_2d_mesh)
+    theta_2d, eta_2d = infer_theta(beta, sigma, mu, test_docs, model.config,
+                                   mesh=make_mesh_2d(2, 2))
+    np.testing.assert_allclose(theta_2d, theta_1, atol=1e-5)
+    np.testing.assert_allclose(eta_2d, eta_1, atol=1e-4)
 
 
 def test_infer_theta_mesh_multibucket_matches_single_device():
