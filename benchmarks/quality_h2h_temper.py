@@ -1,0 +1,164 @@
+"""Likelihood-tempering sweep at the wiki quality-h2h protocol
+(VERDICT r4 #3: turn the shrinkage diagnosis into a capability).
+
+Context: the same-init experiment (RESULTS.md round 4) traced the
+reference's -0.08-nat wiki edge to its df bug (PARITY_NOTES #1 — the
+gradient drops the e^eta factor) acting as implicit per-doc shrinkage
+toward the prior on N=1,015/K=50.  The documented knobs
+(beta_smoothing, sigma_prior) measured unable to reproduce it.  The
+principled form of that mechanism is LIKELIHOOD TEMPERING of the
+per-doc eta search objective (STMConfig.likelihood_temper < 1: solve
+quad + temper*(-loglik); the finalize still evaluates the true model),
+added this round in ops/estep.py.
+
+Protocol: exactly quality_h2h.py's (the reference's own completion
+design, 05_train.py:73-132): beta from a train+test fit, theta from a
+train+test_1 fit, f64 scoring of test_2.  Two stages:
+
+  stage 1 (trajectory): temper grid at seed 0, heldout by iteration
+           to 40 — locates the useful temper range and the peak;
+  stage 2 (seed mean): the promising tempers x 5 seeds at the
+           committed 25-iteration budget — the VERDICT target is
+           mean-seed heldout >= -7.946 (the reference's single
+           deterministic draw).
+
+CPU run (N=1,015 is CPU-friendly; quality numbers are
+contention-insensitive).
+
+Usage: python benchmarks/quality_h2h_temper.py
+Writes benchmarks/results_quality_h2h_temper.json incrementally.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+HERE = os.path.join(os.path.abspath(os.getcwd()), "benchmarks")
+sys.path.insert(0, HERE)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from quality_h2h import load_wiki, split_completion  # noqa: E402
+
+OUT = os.path.join(HERE, "results_quality_h2h_temper.json")
+K, ITERS = 50, 40
+TEMPER_GRID = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
+STAGE2_SEEDS = (0, 1, 2, 3, 4)
+REF_SINGLE_DRAW = -7.9458  # results_quality_h2h.json, wiki_K50
+
+
+def _heldout(test_2, theta_test1, beta):
+    from strutopy_tpu.eval.heldout import eval_heldout
+
+    return float(eval_heldout(test_2, np.asarray(theta_test1, np.float64),
+                              np.asarray(beta, np.float64)))
+
+
+def run_pair(docs_beta, docs_theta, vocab, X, cfg, seed, n_test1, test_2,
+             iters, record_traj=True):
+    from strutopy_tpu.models.stm import STM
+
+    mb = STM(documents=docs_beta, dictionary=vocab,
+             X=X[: len(docs_beta)], config=cfg, seed=seed)
+    mt = STM(documents=docs_theta, dictionary=vocab,
+             X=X[: len(docs_theta)], config=cfg, seed=seed)
+    traj = []
+    for it in range(iters):
+        step_b = (mb._em_step_cold
+                  if mb._em_step_cold is not None
+                  and it < cfg.newton_warmup_iters else mb._em_step)
+        step_t = (mt._em_step_cold
+                  if mt._em_step_cold is not None
+                  and it < cfg.newton_warmup_iters else mt._em_step)
+        mb._state = step_b(mb._state, mb._data)
+        mt._state = step_t(mt._state, mt._data)
+        if record_traj or it == iters - 1:
+            traj.append(round(_heldout(
+                test_2, mt.theta[-n_test1:], mb.beta), 5))
+    return traj
+
+
+def main():
+    from strutopy_tpu.models.config import STMConfig
+
+    docs, vocab, X = load_wiki()
+    train, test, test_1, test_2 = split_completion(docs)
+    docs_beta, docs_theta = train + test, train + test_1
+    n_test1 = len(test_1)
+
+    results = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            results = json.load(f)
+    base = dict(K=K, model_type="STM", mode="ols", init_type="random",
+                max_em_iter=ITERS, convergence_threshold=1e-5,
+                newton_pass1_iters=6, newton_straggler_frac=0.25,
+                newton_warmup_iters=2)
+
+    # ---- stage 1: temper trajectory grid at seed 0 ----
+    stage1 = results.setdefault("stage1_traj_seed0", {})
+    for temper in TEMPER_GRID:
+        name = f"temper_{temper:g}"
+        if name in stage1:
+            continue
+        cfg = STMConfig(**dict(base, likelihood_temper=temper))
+        traj = run_pair(docs_beta, docs_theta, vocab, X, cfg, 0,
+                        n_test1, test_2, ITERS)
+        stage1[name] = {
+            "heldout_by_iter": traj, "at_25": traj[24],
+            "peak": max(traj), "peak_iter": int(np.argmax(traj)) + 1,
+        }
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"[{name}] at_25 {traj[24]:.4f} peak {max(traj):.4f} "
+              f"@ {np.argmax(traj) + 1}", flush=True)
+
+    # ---- pick stage-2 tempers: best two at iter 25, plus baseline ----
+    by25 = {n: v["at_25"] for n, v in stage1.items()}
+    ranked = sorted(by25, key=by25.get, reverse=True)
+    picks = []
+    for n in ranked:
+        if n not in picks:
+            picks.append(n)
+        if len(picks) == 2:
+            break
+    if "temper_1" not in picks:
+        picks.append("temper_1")
+    print("stage-2 picks:", picks, flush=True)
+
+    # ---- stage 2: seed means at 25 iters ----
+    stage2 = results.setdefault("stage2_seed_mean_25iters", {})
+    for name in picks:
+        temper = float(name.split("_")[1])
+        rec = stage2.setdefault(name, {"by_seed": {}})
+        for seed in STAGE2_SEEDS:
+            if str(seed) in rec["by_seed"]:
+                continue
+            cfg = STMConfig(**dict(base, max_em_iter=25,
+                                   likelihood_temper=temper))
+            traj = run_pair(docs_beta, docs_theta, vocab, X, cfg, seed,
+                            n_test1, test_2, 25, record_traj=False)
+            rec["by_seed"][str(seed)] = traj[-1]
+            with open(OUT, "w") as f:
+                json.dump(results, f, indent=2)
+            print(f"[{name}] seed {seed}: {traj[-1]:.4f}", flush=True)
+        vals = np.array(list(rec["by_seed"].values()))
+        rec["mean"] = round(float(vals.mean()), 5)
+        rec["sd"] = round(float(vals.std(ddof=1)), 5)
+        rec["best"] = round(float(vals.max()), 5)
+        rec["beats_ref_single_draw_mean"] = bool(
+            vals.mean() >= REF_SINGLE_DRAW)
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"[{name}] mean {rec['mean']:.4f} sd {rec['sd']:.4f} "
+              f"best {rec['best']:.4f} "
+              f"(ref single draw {REF_SINGLE_DRAW})", flush=True)
+
+    print("wrote", OUT, flush=True)
+
+
+main()

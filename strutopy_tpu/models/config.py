@@ -57,6 +57,12 @@ class STMConfig:
     # steady-state updates typically take 2-4 iterations
     kappa_newton_iters: int = 40
     kappa_grad_tol: float = 1e-6
+    # delta-magnitude convergence skip (ops/mstep.py::update_beta_content):
+    # freeze words whose accepted Newton step improves the objective by
+    # less than this RELATIVE amount — at the f32 cancellation floor the
+    # gradient may never meet kappa_grad_tol while iterations only churn.
+    # 0 = off (bit-identical to the pre-knob exit)
+    kappa_ftol_rel: float = 0.0
     # E-step solver
     newton_max_iters: int = 24
     newton_grad_tol: float = 1e-5  # scipy BFGS gtol default the reference relies on
@@ -110,6 +116,13 @@ class STMConfig:
     nu_method: str = "blocked"
     # blocked_cholesky block size (only read when nu_method="blocked")
     chol_block: int = 16
+    # likelihood tempering of the per-doc eta search objective
+    # (ops/estep.py::NewtonConfig.likelihood_temper): values < 1 damp
+    # the likelihood gradient so eta shrinks toward the prior mean —
+    # the principled form of the implicit shrinkage the reference's df
+    # bug applies on small corpora (PARITY_NOTES #1).  The finalize
+    # pass (bound/phi/nu) always evaluates the TRUE model.  1.0 = off.
+    likelihood_temper: float = 1.0
     debug_checks: bool = False  # host-side numerical sanitizers per EM iter
     # length bucketing: run the E-step per document-length class at its
     # own (static) padded L instead of the global max
@@ -150,6 +163,8 @@ class STMConfig:
             raise ValueError("newton_straggler_frac must be in (0, 1]")
         if self.newton_warmup_iters < 0:
             raise ValueError("newton_warmup_iters must be >= 0")
+        if not 0.0 < self.likelihood_temper <= 1.0:
+            raise ValueError("likelihood_temper must be in (0, 1]")
         if self.newton_pass1_iters and self.use_pallas:
             raise ValueError(
                 "the two-pass schedule is incompatible with the whole-loop "

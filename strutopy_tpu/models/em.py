@@ -79,6 +79,7 @@ def _newton_cfg(cfg: STMConfig) -> NewtonConfig:
         bf16_beta=cfg.newton_bf16_beta,
         nu_method=cfg.nu_method,
         chol_block=cfg.chol_block,
+        likelihood_temper=cfg.likelihood_temper,
     )
 
 
@@ -278,6 +279,7 @@ def em_iteration(
             vocab_psum=vocab_psum,
             vocab_pmax=vocab_pmax,
             wcounts_total=wc_total,
+            ftol_rel=cfg.kappa_ftol_rel,
         )
     return STMState(
         beta=beta,

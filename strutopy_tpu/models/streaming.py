@@ -337,6 +337,7 @@ class StreamedEM:
                 iters=cfg.kappa_newton_iters,
                 kappa0=shared.kappa,
                 tol=cfg.kappa_grad_tol,
+                ftol_rel=cfg.kappa_ftol_rel,
             )
 
         new_shared = shared._replace(

@@ -372,7 +372,7 @@ def build_kappa_design(K: int, A: int, interactions: bool) -> np.ndarray:
 
 
 def _poisson_newton_batch(Y, m, Xd, offset, alpha, n, iters, W0,
-                          tol=1e-6, lp_clip=30.0):
+                          tol=1e-6, lp_clip=30.0, ftol_rel=0.0):
     """Batched damped Newton for a chunk of penalized Poisson regressions.
 
     One word's sklearn PoissonRegressor objective (fit_intercept=False):
@@ -452,10 +452,19 @@ def _poisson_newton_batch(Y, m, Xd, offset, alpha, n, iters, W0,
         step = improved & ~done
         W = jnp.where(step[None, :], W + t_best[None, :] * D, W)
         F = jnp.where(step, f_new, F)
-        # a word is done when its gradient meets tol or the line search
+        # a word is done when its gradient meets tol, the line search
         # stalls (no halving step improves a convex objective only at
-        # the f32 noise floor)
-        done = done | (gnorm < tol) | ~improved
+        # the f32 noise floor), or — with ftol_rel > 0 — the accepted
+        # step's relative improvement is below the threshold: at the f32
+        # cancellation floor the objective difference is noise, so
+        # gnorm may never meet tol while further iterations only churn
+        # (the delta-magnitude convergence skip; the round-4
+        # cancellation-free line search measured a 1.85x REGRESSION —
+        # freezing such words is the cheap exit, not sharper deltas).
+        # ftol_rel=0 reproduces the old exit exactly (improving words
+        # have rel_impr > 0; non-improving ones are caught by ~improved)
+        rel_impr = (F - f_new) / jnp.maximum(jnp.abs(F), 1e-30)
+        done = done | (gnorm < tol) | ~improved | (rel_impr < ftol_rel)
         return (W, F, it + 1, done)
 
     # pre-loop convergence check: words whose warm start already meets
@@ -517,6 +526,9 @@ def update_beta_content(
     vocab_psum=None,  # sum-reduce over the vocab mesh axis (sharded)
     vocab_pmax=None,  # max-reduce over the vocab mesh axis (sharded)
     wcounts_total=None,  # scalar sum over the FULL vocab (sharded)
+    ftol_rel: float = 0.0,  # delta-magnitude convergence skip (see
+    # _poisson_newton_batch): freeze words whose accepted Newton step
+    # improves the objective by less than ftol_rel relative; 0 = off
 ):
     """Content model: V parallel Poisson regressions -> (beta, kappa).
 
@@ -589,7 +601,8 @@ def update_beta_content(
     def chunk_fn(it_max, chunk):
         Y, mv, W0 = chunk
         W, n_it = _poisson_newton_batch(
-            Y, mv, Xd, offset, alpha_, n, iters, W0, tol=tol
+            Y, mv, Xd, offset, alpha_, n, iters, W0, tol=tol,
+            ftol_rel=ftol_rel,
         )
         return jnp.maximum(it_max, n_it), W
 

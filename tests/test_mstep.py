@@ -208,3 +208,28 @@ def test_ridge_precomputed_alpha_guard(reg_data):
     ref = sklearn.linear_model.Ridge(alpha=5.0, fit_intercept=True).fit(X, eta)
     np.testing.assert_allclose(np.asarray(gamma)[:, 1:], ref.coef_,
                                rtol=5e-3, atol=1e-3)
+
+
+def test_kappa_ftol_rel_skip_preserves_solution():
+    """Delta-magnitude convergence skip (VERDICT r4 #5): ftol_rel
+    freezes words whose accepted Newton step improves the objective by
+    less than the relative threshold.  ftol_rel=0 must be bit-identical
+    to the default exit; a noise-floor-scale threshold must reach the
+    same beta to solver tolerance."""
+    rng = np.random.default_rng(9)
+    K, A, V = 3, 2, 50
+    beta_ss = jnp.asarray(rng.gamma(1.0, 1.0, (A, K, V)), jnp.float32)
+    wcounts = jnp.asarray(rng.integers(1, 100, V), jnp.float32)
+    Xd = jnp.asarray(mstep.build_kappa_design(K, A, True), jnp.float32)
+
+    beta0, kappa0 = mstep.update_beta_content(
+        beta_ss, wcounts, Xd, alpha=250.0, iters=30)
+    beta_z, kappa_z = mstep.update_beta_content(
+        beta_ss, wcounts, Xd, alpha=250.0, iters=30, ftol_rel=0.0)
+    np.testing.assert_array_equal(np.asarray(beta0), np.asarray(beta_z))
+    np.testing.assert_array_equal(np.asarray(kappa0), np.asarray(kappa_z))
+
+    beta_f, _ = mstep.update_beta_content(
+        beta_ss, wcounts, Xd, alpha=250.0, iters=30, ftol_rel=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(beta_f), np.asarray(beta0), atol=2e-4)
