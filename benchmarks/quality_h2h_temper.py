@@ -62,10 +62,14 @@ def run_pair(docs_beta, docs_theta, vocab, X, cfg, seed, n_test1, test_2,
              iters, record_traj=True):
     from strutopy_tpu.models.stm import STM
 
+    # seed must live IN the config: STM ignores the seed kwarg when an
+    # explicit config is passed (the stage-2 first run hit this — all
+    # "seeds" silently fit at the default 123456 and came back equal)
+    cfg = cfg.replace(seed=seed)
     mb = STM(documents=docs_beta, dictionary=vocab,
-             X=X[: len(docs_beta)], config=cfg, seed=seed)
+             X=X[: len(docs_beta)], config=cfg)
     mt = STM(documents=docs_theta, dictionary=vocab,
-             X=X[: len(docs_theta)], config=cfg, seed=seed)
+             X=X[: len(docs_theta)], config=cfg)
     traj = []
     for it in range(iters):
         step_b = (mb._em_step_cold

@@ -71,6 +71,16 @@ class STM:
         beta_smoothing: float = 0.0,
         stream_parts: int = 0,
     ):
+        if config is not None and seed != 123456 and config.seed != seed:
+            # the explicit config wins over every kwarg; a conflicting
+            # seed is the one silent override that corrupts experiments
+            # (a "seed sweep" that fits the same model repeatedly), so
+            # fail loudly instead of ignoring it
+            raise ValueError(
+                f"seed={seed} conflicts with config.seed={config.seed}: "
+                "an explicit STMConfig overrides the seed kwarg — use "
+                "config.replace(seed=...) instead"
+            )
         if config is None:
             config = STMConfig(
                 K=K,

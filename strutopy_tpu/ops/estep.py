@@ -155,9 +155,20 @@ def _pad_eta(eta):
 
 
 def _bmm_outer(Bm, mosaic_safe: bool):
-    """(B, K, L) x (B, K, L) -> (B, K, K) batched B @ B^T."""
+    """(B, K, L) x (B, K, L) -> (B, K, K) batched B @ B^T.
+
+    f32 operands (the finalize Hessian, ``bf16=False``) multiply at
+    Precision.HIGHEST: TPU's DEFAULT einsum precision truncates f32
+    inputs to bfloat16, which would silently demote the "final Hessian
+    f32" invariant (see ops/linalg.py module comment — the same
+    truncation NaN'd the blocked Cholesky at N=1M).  bf16 operands (the
+    in-loop Hessian) keep the single-pass default: that reduced
+    precision is the documented in-loop design.
+    """
+    prec = jax.lax.Precision.HIGHEST if Bm.dtype == jnp.float32 else None
     if not mosaic_safe:
-        return jnp.einsum("bkl,bjl->bkj", Bm, Bm, preferred_element_type=jnp.float32)
+        return jnp.einsum("bkl,bjl->bkj", Bm, Bm,
+                          preferred_element_type=jnp.float32, precision=prec)
 
     # Mosaic supports neither batched dot_general nor dynamic_slice on
     # values: unroll over the (static) block with 2D dots
@@ -168,6 +179,7 @@ def _bmm_outer(Bm, mosaic_safe: bool):
                 Bm[b], Bm[b],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=prec,
             )
             for b in range(B)
         ]
@@ -518,10 +530,12 @@ def _ns_inverse(H, iters: int = 18):
     n1 = jnp.max(jnp.sum(jnp.abs(H), axis=2), axis=1)
     X = H / (n1[:, None, None] ** 2)
     I2 = 2.0 * jnp.eye(H.shape[-1], dtype=H.dtype)[None]
+    hi = jax.lax.Precision.HIGHEST  # nu is a model quantity: f32-exact
     for _ in range(iters):
-        HX = jnp.einsum("bij,bjk->bik", H, X, preferred_element_type=jnp.float32)
+        HX = jnp.einsum("bij,bjk->bik", H, X,
+                        preferred_element_type=jnp.float32, precision=hi)
         X = jnp.einsum("bij,bjk->bik", X, I2 - HX,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32, precision=hi)
     return X
 
 
@@ -556,7 +570,10 @@ def _finalize_chunk(eta, beta_doc, counts, mu, doc_w, siginv, sigmaentropy, Nd,
     eta_full = _pad_eta(eta)
     m = jnp.max(eta_full, axis=1, keepdims=True)
     e = jnp.exp(eta_full - m)
-    t_l = jnp.einsum("bk,bkl->bl", theta * e, beta_doc)
+    # bound terms are model quantities: f32-exact products (TPU DEFAULT
+    # would truncate the operands to bf16 — see _bmm_outer docstring)
+    hi = jax.lax.Precision.HIGHEST
+    t_l = jnp.einsum("bk,bkl->bl", theta * e, beta_doc, precision=hi)
     t_l = jnp.maximum(t_l, jnp.asarray(1e-35, eta.dtype))
     cmask = counts > 0
     loglik = jnp.sum(
@@ -564,7 +581,8 @@ def _finalize_chunk(eta, beta_doc, counts, mu, doc_w, siginv, sigmaentropy, Nd,
     )
     detTerm = -jnp.sum(jnp.log(jnp.diagonal(L, axis1=1, axis2=2)), axis=1)
     diff = eta - mu
-    quad = 0.5 * jnp.sum((diff @ siginv) * diff, axis=1)
+    quad = 0.5 * jnp.sum(
+        jnp.einsum("bi,ij->bj", diff, siginv, precision=hi) * diff, axis=1)
     bound = loglik + detTerm - quad - sigmaentropy
 
     phi = phi_hat * counts[:, None, :]  # (B, K, L) expected token-topic counts

@@ -21,6 +21,18 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+# All products in the blocked factorization/inverse path run at
+# Precision.HIGHEST: on TPU the DEFAULT einsum precision truncates f32
+# inputs to bfloat16, and the resulting ~eps_bf16 * ||H|| perturbation
+# of the Schur complements (~0.1 at the N=1M corpus scale) exceeds the
+# smallest eigenvalues the PD-repair ladder produces (~0.01), driving
+# pivots negative -> NaN factors on matrices XLA's native Cholesky
+# handles fine.  Root-caused from the five dumped N=1M Hessians
+# (benchmarks/results_nan_bisect_hdump.json, tests/test_linalg_precision.py).
+# HIGHEST keeps these ops exact to f32 rounding — the documented
+# contract for the finalize stage — on every backend.
+_HIGHEST = jax.lax.Precision.HIGHEST
+
 
 def make_pd(M: jax.Array) -> jax.Array:
     """Force diagonal dominance (reference make_pd, stm.py:964-984).
@@ -79,7 +91,7 @@ def _small_chol(A: jax.Array) -> jax.Array:
         if i:
             corr = jnp.einsum(
                 "brk,bk->br", L[:, i:, :i], L[:, i, :i],
-                preferred_element_type=A.dtype,
+                preferred_element_type=A.dtype, precision=_HIGHEST,
             )
         else:
             corr = jnp.zeros_like(A[:, i:, i])
@@ -102,7 +114,7 @@ def _small_tri_inv(L: jax.Array) -> jax.Array:
             prev = jnp.stack(rows, axis=1)  # (B, i, m)
             corr = jnp.einsum(
                 "bk,bkm->bm", L[:, i, :i], prev,
-                preferred_element_type=L.dtype,
+                preferred_element_type=L.dtype, precision=_HIGHEST,
             )
         else:
             corr = jnp.zeros_like(e)
@@ -126,9 +138,9 @@ def tri_lower_inverse(L: jax.Array, leaf: int = 8) -> jax.Array:
     Ai = tri_lower_inverse(L[:, :h, :h], leaf)
     Di = tri_lower_inverse(L[:, h:, h:], leaf)
     CA = jnp.einsum("bij,bjk->bik", L[:, h:, :h], Ai,
-                    preferred_element_type=L.dtype)
+                    preferred_element_type=L.dtype, precision=_HIGHEST)
     X = -jnp.einsum("bij,bjk->bik", Di, CA,
-                    preferred_element_type=L.dtype)
+                    preferred_element_type=L.dtype, precision=_HIGHEST)
     B = L.shape[0]
     top = jnp.concatenate(
         [Ai, jnp.zeros((B, h, n - h), L.dtype)], axis=2)
@@ -169,10 +181,10 @@ def blocked_cholesky(H: jax.Array, block: int = 16) -> jax.Array:
         if r:
             Wjj = tri_lower_inverse(Ljj, leaf=8)
             panel = jnp.einsum("brk,bik->bri", T[:, block:, :block], Wjj,
-                               preferred_element_type=H.dtype)
+                               preferred_element_type=H.dtype, precision=_HIGHEST)
             T = T[:, block:, block:] - jnp.einsum(
                 "bri,bsi->brs", panel, panel,
-                preferred_element_type=H.dtype)
+                preferred_element_type=H.dtype, precision=_HIGHEST)
             colj = jnp.concatenate([Ljj, panel], axis=1)  # (B, block+r, block)
         else:
             colj = Ljj
@@ -187,7 +199,7 @@ def blocked_cho_inverse(L: jax.Array, leaf: int = 8) -> jax.Array:
     :func:`tri_lower_inverse` — replaces the per-doc triangular solves
     of :func:`cho_inverse` with log-depth batched einsums."""
     W = tri_lower_inverse(L, leaf=leaf)
-    return jnp.einsum("bki,bkj->bij", W, W, preferred_element_type=L.dtype)
+    return jnp.einsum("bki,bkj->bij", W, W, preferred_element_type=L.dtype, precision=_HIGHEST)
 
 
 def precompute_sigma(sigma: jax.Array, jitter: float = 1e-5):
