@@ -154,18 +154,28 @@ def _pad_eta(eta):
     return jnp.concatenate([eta, jnp.zeros((B, 1), eta.dtype)], axis=1)
 
 
+# Finalize-stage matmul precision for f32 MODEL quantities (the final
+# Hessian, the bound's loglik/quad terms, the NS inverse): TPU's
+# DEFAULT einsum precision truncates f32 inputs to bfloat16, which
+# would silently demote the "final Hessian f32" invariant (see
+# ops/linalg.py module comment — the same truncation NaN'd the blocked
+# Cholesky at N=1M).  HIGH = bf16x3 passes (~1e-5 relative, true f32
+# on CPU); HIGHEST measured +0.4-1% E-step cost for accuracy far below
+# fit noise (benchmarks/results_precision_ab.json).  Module constant so
+# precision A/Bs can patch it (read at trace time; pair any sweep with
+# jax.clear_caches()).
+_FINALIZE_PREC = jax.lax.Precision.HIGH
+
+
 def _bmm_outer(Bm, mosaic_safe: bool):
     """(B, K, L) x (B, K, L) -> (B, K, K) batched B @ B^T.
 
     f32 operands (the finalize Hessian, ``bf16=False``) multiply at
-    Precision.HIGHEST: TPU's DEFAULT einsum precision truncates f32
-    inputs to bfloat16, which would silently demote the "final Hessian
-    f32" invariant (see ops/linalg.py module comment — the same
-    truncation NaN'd the blocked Cholesky at N=1M).  bf16 operands (the
-    in-loop Hessian) keep the single-pass default: that reduced
-    precision is the documented in-loop design.
+    ``_FINALIZE_PREC``; bf16 operands (the in-loop Hessian) keep the
+    single-pass default: that reduced precision is the documented
+    in-loop design.
     """
-    prec = jax.lax.Precision.HIGHEST if Bm.dtype == jnp.float32 else None
+    prec = _FINALIZE_PREC if Bm.dtype == jnp.float32 else None
     if not mosaic_safe:
         return jnp.einsum("bkl,bjl->bkj", Bm, Bm,
                           preferred_element_type=jnp.float32, precision=prec)
@@ -494,8 +504,22 @@ def _make_pd_batched(M):
     return M * (1.0 - eye) + new_d[:, :, None] * eye
 
 
-def _chol_pd_batched(H, jitter: float = 1e-5, chol_fn=jnp.linalg.cholesky):
-    """Batched 3-rung PD-repair Cholesky ladder (stm.py:1017-1050).
+def _chol_pd_batched(H, jitter: float = 1e-5, chol_fn=jnp.linalg.cholesky,
+                     rel_jitter: float = 1e-3):
+    """Batched PD-repair Cholesky ladder (stm.py:1017-1050) + terminal rung.
+
+    Rungs 1-3 are the reference's ladder: raw factor, make_pd repair,
+    make_pd + fixed 1e-5 jitter.  Rung 4 goes beyond the reference: a
+    SCALE-AWARE jitter (``rel_jitter`` x per-doc max|H|) for documents
+    whose repaired matrix is so barely PD that finite-precision matmul
+    error alone flips a pivot — the N=1M failure mode
+    (tests/test_linalg_precision.py): at matrix scale ~50 the fixed
+    1e-5 rung is 1000x below the bf16x3 product error, so the pre-fix
+    ladder exhausted all rungs and returned NaN, silently poisoning nu
+    -> sigma -> the whole fit.  rel_jitter=1e-3 sits ~100x above the
+    Precision.HIGH error at ANY scale, making the ladder terminal in
+    practice; it perturbs only documents that already failed three
+    repair rungs.
 
     The repair rungs run under a scalar ``lax.cond``: at the converged
     eta the Hessian is almost always PD, so the common case pays for a
@@ -508,11 +532,16 @@ def _chol_pd_batched(H, jitter: float = 1e-5, chol_fn=jnp.linalg.cholesky):
     ok1 = jnp.all(jnp.isfinite(L1.reshape(H.shape[0], -1)), axis=1)
 
     def repair(_):
+        eye = jnp.eye(K, dtype=H.dtype)[None]
         H2 = _make_pd_batched(H)
         L2 = chol_fn(H2)
         ok2 = jnp.all(jnp.isfinite(L2.reshape(H.shape[0], -1)), axis=1)
-        L3 = chol_fn(H2 + jitter * jnp.eye(K, dtype=H.dtype)[None])
-        fixed = jnp.where(ok2[:, None, None], L2, L3)
+        L3 = chol_fn(H2 + jitter * eye)
+        ok3 = jnp.all(jnp.isfinite(L3.reshape(H.shape[0], -1)), axis=1)
+        j4 = rel_jitter * jnp.max(jnp.abs(H2), axis=(1, 2))
+        L4 = chol_fn(H2 + j4[:, None, None] * eye)
+        fixed = jnp.where(ok2[:, None, None], L2,
+                          jnp.where(ok3[:, None, None], L3, L4))
         return jnp.where(ok1[:, None, None], L1, fixed)
 
     return jax.lax.cond(jnp.all(ok1), lambda _: L1, repair, operand=None)
@@ -530,7 +559,7 @@ def _ns_inverse(H, iters: int = 18):
     n1 = jnp.max(jnp.sum(jnp.abs(H), axis=2), axis=1)
     X = H / (n1[:, None, None] ** 2)
     I2 = 2.0 * jnp.eye(H.shape[-1], dtype=H.dtype)[None]
-    hi = jax.lax.Precision.HIGHEST  # nu is a model quantity: f32-exact
+    hi = _FINALIZE_PREC  # nu is a model quantity: f32-exact
     for _ in range(iters):
         HX = jnp.einsum("bij,bjk->bik", H, X,
                         preferred_element_type=jnp.float32, precision=hi)
@@ -572,7 +601,7 @@ def _finalize_chunk(eta, beta_doc, counts, mu, doc_w, siginv, sigmaentropy, Nd,
     e = jnp.exp(eta_full - m)
     # bound terms are model quantities: f32-exact products (TPU DEFAULT
     # would truncate the operands to bf16 — see _bmm_outer docstring)
-    hi = jax.lax.Precision.HIGHEST
+    hi = _FINALIZE_PREC
     t_l = jnp.einsum("bk,bkl->bl", theta * e, beta_doc, precision=hi)
     t_l = jnp.maximum(t_l, jnp.asarray(1e-35, eta.dtype))
     cmask = counts > 0

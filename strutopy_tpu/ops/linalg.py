@@ -22,16 +22,25 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 # All products in the blocked factorization/inverse path run at
-# Precision.HIGHEST: on TPU the DEFAULT einsum precision truncates f32
-# inputs to bfloat16, and the resulting ~eps_bf16 * ||H|| perturbation
-# of the Schur complements (~0.1 at the N=1M corpus scale) exceeds the
-# smallest eigenvalues the PD-repair ladder produces (~0.01), driving
-# pivots negative -> NaN factors on matrices XLA's native Cholesky
-# handles fine.  Root-caused from the five dumped N=1M Hessians
+# Precision.HIGH (bf16x3 passes on TPU; true f32 on CPU): on TPU the
+# DEFAULT einsum precision truncates f32 inputs to bfloat16, and the
+# resulting ~eps_bf16 * ||H|| perturbation of the Schur complements
+# (~0.1 at the N=1M corpus scale) exceeds the smallest eigenvalues the
+# PD-repair ladder produces (~0.01), driving pivots negative -> NaN
+# factors on matrices XLA's native Cholesky handles fine.  Root-caused
+# from the five dumped N=1M Hessians
 # (benchmarks/results_nan_bisect_hdump.json, tests/test_linalg_precision.py).
-# HIGHEST keeps these ops exact to f32 rounding — the documented
-# contract for the finalize stage — on every backend.
-_HIGHEST = jax.lax.Precision.HIGHEST
+#
+# Why HIGH and not HIGHEST: measured on the dumped Hessians ON TPU,
+# DEFAULT NaNs, HIGH is finite with max err 6.7e-4 vs the XLA factor
+# (20x margin to the 0.014 repaired-eig floor), HIGHEST is finite at
+# 1.4e-5; and on the headline E-step HIGH is throughput-free while
+# HIGHEST costs 2.2-2.6% (benchmarks/results_precision_ab.json).  The
+# scale-aware terminal rung in ops/estep.py::_chol_pd_batched keeps
+# the ladder finite even for matrices with thinner margins than the
+# fixture's.  On CPU, HIGH executes as true f32, so the "exact to f32
+# rounding" parity tests (tests/test_blocked_linalg.py) are unaffected.
+_PREC = jax.lax.Precision.HIGH
 
 
 def make_pd(M: jax.Array) -> jax.Array:
@@ -91,7 +100,7 @@ def _small_chol(A: jax.Array) -> jax.Array:
         if i:
             corr = jnp.einsum(
                 "brk,bk->br", L[:, i:, :i], L[:, i, :i],
-                preferred_element_type=A.dtype, precision=_HIGHEST,
+                preferred_element_type=A.dtype, precision=_PREC,
             )
         else:
             corr = jnp.zeros_like(A[:, i:, i])
@@ -114,7 +123,7 @@ def _small_tri_inv(L: jax.Array) -> jax.Array:
             prev = jnp.stack(rows, axis=1)  # (B, i, m)
             corr = jnp.einsum(
                 "bk,bkm->bm", L[:, i, :i], prev,
-                preferred_element_type=L.dtype, precision=_HIGHEST,
+                preferred_element_type=L.dtype, precision=_PREC,
             )
         else:
             corr = jnp.zeros_like(e)
@@ -138,9 +147,9 @@ def tri_lower_inverse(L: jax.Array, leaf: int = 8) -> jax.Array:
     Ai = tri_lower_inverse(L[:, :h, :h], leaf)
     Di = tri_lower_inverse(L[:, h:, h:], leaf)
     CA = jnp.einsum("bij,bjk->bik", L[:, h:, :h], Ai,
-                    preferred_element_type=L.dtype, precision=_HIGHEST)
+                    preferred_element_type=L.dtype, precision=_PREC)
     X = -jnp.einsum("bij,bjk->bik", Di, CA,
-                    preferred_element_type=L.dtype, precision=_HIGHEST)
+                    preferred_element_type=L.dtype, precision=_PREC)
     B = L.shape[0]
     top = jnp.concatenate(
         [Ai, jnp.zeros((B, h, n - h), L.dtype)], axis=2)
@@ -181,10 +190,10 @@ def blocked_cholesky(H: jax.Array, block: int = 16) -> jax.Array:
         if r:
             Wjj = tri_lower_inverse(Ljj, leaf=8)
             panel = jnp.einsum("brk,bik->bri", T[:, block:, :block], Wjj,
-                               preferred_element_type=H.dtype, precision=_HIGHEST)
+                               preferred_element_type=H.dtype, precision=_PREC)
             T = T[:, block:, block:] - jnp.einsum(
                 "bri,bsi->brs", panel, panel,
-                preferred_element_type=H.dtype, precision=_HIGHEST)
+                preferred_element_type=H.dtype, precision=_PREC)
             colj = jnp.concatenate([Ljj, panel], axis=1)  # (B, block+r, block)
         else:
             colj = Ljj
@@ -199,7 +208,7 @@ def blocked_cho_inverse(L: jax.Array, leaf: int = 8) -> jax.Array:
     :func:`tri_lower_inverse` — replaces the per-doc triangular solves
     of :func:`cho_inverse` with log-depth batched einsums."""
     W = tri_lower_inverse(L, leaf=leaf)
-    return jnp.einsum("bki,bkj->bij", W, W, preferred_element_type=L.dtype, precision=_HIGHEST)
+    return jnp.einsum("bki,bkj->bij", W, W, preferred_element_type=L.dtype, precision=_PREC)
 
 
 def precompute_sigma(sigma: jax.Array, jitter: float = 1e-5):
