@@ -90,6 +90,46 @@ def findk1m():
                   f"{r['heldout_mean']:.4f} ± {r['heldout_se']:.5f}")
 
 
+def h2h_spectral():
+    d = _load("results_quality_h2h_spectral.json")
+    print("| config | framework | heldout LL | coherence | exclusivity | "
+          "FREX top-10 | fit wall-clock |")
+    print("|---|---|---|---|---|---|---|")
+    for name, e in d["configs"].items():
+        for fw in ("strutopy_tpu", "reference"):
+            if fw not in e:
+                continue
+            r = e[fw]
+            if fw == "strutopy_tpu":
+                wall = (f"{r['fit_beta_seconds_cold'] + r['fit_theta_seconds_cold']:.0f} s cold "
+                        f"(incl. compile)")
+            else:
+                wall = f"{r['fit_beta_seconds'] + r['fit_theta_seconds']:,.0f} s"
+            bold = "**" if fw == "strutopy_tpu" else ""
+            print(f"| {name} (N={e['N']:,}, K={e['K']}) | {fw} | "
+                  f"{bold}{r['heldout_ll']:.4f}{bold} | "
+                  f"{r['semantic_coherence_mean']:.2f} | "
+                  f"{r['exclusivity_mean']:.2f} | "
+                  f"{r['frex_top10_mean']:.3f} | {wall} |")
+        if "heldout_delta_ours_minus_ref" in e:
+            print(f"| | Δ heldout (ours − ref) | "
+                  f"**{e['heldout_delta_ours_minus_ref']:+.4f}** | | | | |")
+
+
+def k400finalize():
+    d = _load("results_k400_finalize.json")
+    print("| finalize variant | docs/s | bound |")
+    print("|---|---|---|")
+    for name, r in d.items():
+        if name == "config":
+            continue
+        if "compile_failed" in r:
+            print(f"| {name} | compile failed | {r['compile_failed'][:60]} |")
+        else:
+            print(f"| {name} | {r['docs_per_sec']:,.0f} | {r['bound']:,.0f} |")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "serving"
-    {"serving": serving, "h2h": h2h, "findk1m": findk1m}[which]()
+    {"serving": serving, "h2h": h2h, "findk1m": findk1m,
+     "h2h_spectral": h2h_spectral, "k400finalize": k400finalize}[which]()
