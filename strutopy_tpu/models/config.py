@@ -114,8 +114,10 @@ class STMConfig:
     # benchmarks/results_nu_K100.json), "chol" (XLA Cholesky +
     # triangular solves), or "ns" (Newton-Schulz, ~1e-3 sigma_ss error)
     nu_method: str = "blocked"
-    # blocked_cholesky block size (only read when nu_method="blocked")
-    chol_block: int = 16
+    # blocked_cholesky block size (only read when nu_method="blocked");
+    # 0 = auto: 16 at K<=200, 32 above (+23.4% at K=400,
+    # benchmarks/results_k400_finalize.json)
+    chol_block: int = 0
     # likelihood tempering of the per-doc eta search objective
     # (ops/estep.py::NewtonConfig.likelihood_temper): values < 1 damp
     # the likelihood gradient so eta shrinks toward the prior mean —

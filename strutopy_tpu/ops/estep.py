@@ -51,6 +51,7 @@ from strutopy_tpu.ops.linalg import (
     blocked_cho_inverse,
     blocked_cholesky,
     cho_inverse,
+    default_chol_block,
 )
 
 logger = logging.getLogger(__name__)
@@ -114,9 +115,10 @@ class NewtonConfig(NamedTuple):
     # (Newton-Schulz: ~1e-3 relative sigma_ss error; log-det still
     # from the Cholesky)
     nu_method: str = "blocked"
-    # blocked_cholesky block size for nu_method="blocked" (16 default;
-    # tunnel latency floors the micro-bench, so tune via the E-step A/B)
-    chol_block: int = 16
+    # blocked_cholesky block size for nu_method="blocked"; 0 = auto
+    # (ops/linalg.py::default_chol_block: 16 at K<=200, 32 above —
+    # +23.4% at K=400, results_k400_finalize.json)
+    chol_block: int = 0
     # likelihood tempering of the per-doc eta SEARCH objective
     # (VERDICT r4 #3): minimize quad + temper * (-loglik) instead of the
     # plain MAP objective, i.e. damp the likelihood gradient by a factor
@@ -569,8 +571,9 @@ def _ns_inverse(H, iters: int = 18):
 
 
 def _finalize_chunk(eta, beta_doc, counts, mu, doc_w, siginv, sigmaentropy, Nd,
-                    nu_method: str = "chol", chol_block: int = 16):
+                    nu_method: str = "chol", chol_block: int = 0):
     """Per-doc nu / bound / phi / theta at the converged eta (float32)."""
+    chol_block = chol_block or default_chol_block(eta.shape[-1])
     _f, _g, H, theta, phi_hat = _f_g_H_batched(
         eta, beta_doc, counts, mu, siginv, Nd, bf16=False
     )

@@ -156,6 +156,21 @@ def tri_lower_inverse(L: jax.Array, leaf: int = 8) -> jax.Array:
     return jnp.concatenate([top, jnp.concatenate([X, Di], axis=2)], axis=1)
 
 
+def default_chol_block(p: int) -> int:
+    """K-scaled default panel size for :func:`blocked_cholesky`.
+
+    16 vs 32 measured within noise in the E-step at K<=200
+    (round-2 sweep); at K=400 the block-16 ladder is 25 sequential
+    steps whose updates under-fill the MXU and block 32 recovers
+    +23.4% end-to-end (benchmarks/results_k400_finalize.json —
+    block 64 adds only +0.7% more).  All block sizes produce the
+    bit-identical factorization up to f32 rounding of the same
+    straight-line schedule per size; the bound matched exactly in
+    the K=400 sweep.
+    """
+    return 16 if p <= 200 else 32
+
+
 def blocked_cholesky(H: jax.Array, block: int = 16) -> jax.Array:
     """Batched lower Cholesky of (B, P, P) SPD matrices, straight-line.
 

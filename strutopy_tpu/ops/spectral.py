@@ -17,11 +17,17 @@ Reference: spectral_init / create_dtm / gram / fastAnchor / recover_l2
     non-negative least squares, which a vmapped projected-gradient
     (FISTA) solver handles for all V' words at once with no QP library.
 
-Deviation (PARITY_NOTES.md): the final re-expanded beta is
+Deviations (PARITY_NOTES.md): the final re-expanded beta is
 row-normalized per topic; the reference normalizes by the *global* sum
 (stm.py:83), leaving rows summing to ~1/K — the E-step objective is
 invariant to row scaling (absorbed by eta), so only the normalization
-convention differs.
+convention differs.  Q is UNNORMALIZED by default (``gram_norm="none"``)
+— the reference's actual behavior: its sklearn ``normalize(Q,
+copy=False)`` call (stm.py:155) receives a CSC matrix, normalizes a
+converted csr COPY, and the return value is discarded.  The l1
+(row-sum) variant its docstring describes measured 0.8-1.1 nats worse
+end-to-end (results_quality_h2h_spectral.json /
+results_spectral_init_diag.json).
 """
 
 from __future__ import annotations
@@ -68,25 +74,47 @@ def _gram_accum(words, counts, n_chunks: int, Vp: int):
     return Q, hhat
 
 
-def _gram_finish(Q, hhat):
+def _gram_finish(Q, hhat, norm: str = "none"):
+    """Subtract the diagonal correction and (optionally) normalize rows.
+
+    ``norm="none"`` returns the raw Gram — the reference's ACTUAL
+    behavior: its ``gram`` builds Q as a scipy CSC matrix and calls
+    sklearn ``normalize(Q, copy=False)`` (stm.py:155), which converts
+    CSC to a NEW csr copy, normalizes the copy, and returns it — but
+    the reference discards the return value and hands the ORIGINAL,
+    never-normalized Q to fastAnchor/recover_l2.  ``norm="l1"`` divides
+    rows by their sums (the Arora et al. / R-stm conditional-
+    distribution semantics the reference's docstring *describes*);
+    ``norm="l2"`` is what its sklearn call *would* do if the result
+    were kept.  The choice moves anchors and recovery: with l1 the
+    wiki/synth spectral h2h measured 0.8-1.1 nats WORSE heldout than
+    the reference's unnormalized Q (results_quality_h2h_spectral.json;
+    max |Q_l1 - Q_ref| = 0.68, 13/50 different wiki anchors —
+    results_spectral_init_diag.json), so "none" is the default.
+    """
     Q = Q - jnp.diag(hhat)
     row_sums = jnp.sum(Q, axis=1, keepdims=True)
-    Q = Q / jnp.maximum(row_sums, 1e-30)
+    if norm == "l1":
+        Q = Q / jnp.maximum(row_sums, 1e-30)
+    elif norm == "l2":
+        Q = Q / jnp.maximum(
+            jnp.sqrt(jnp.sum(Q * Q, axis=1, keepdims=True)), 1e-30)
     return Q, row_sums[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("n_chunks", "Vp"))
-def _gram_scan(words, counts, n_chunks: int, Vp: int):
+@functools.partial(jax.jit, static_argnames=("n_chunks", "Vp", "norm"))
+def _gram_scan(words, counts, n_chunks: int, Vp: int, norm: str = "none"):
     """Q = sum_d outer(h_d, h_d) - diag(sum_d dtm_d / div_d), chunked.
 
     words/counts: (N, L) already remapped to the filtered vocab
     (dropped terms have count 0); documents with < 2 tokens must have
     all-zero counts.
     """
-    return _gram_finish(*_gram_accum(words, counts, n_chunks, Vp))
+    return _gram_finish(*_gram_accum(words, counts, n_chunks, Vp), norm=norm)
 
 
-def _gram_scan_sharded(mesh, words_f, counts_f, B: int, Vp: int):
+def _gram_scan_sharded(mesh, words_f, counts_f, B: int, Vp: int,
+                       norm: str = "none"):
     """Gram matrix over a document mesh (SURVEY §2.5 item 2): each
     device scans its document shard and the (Vp, Vp) partial sums psum
     once over ICI; the normalization runs replicated.
@@ -126,7 +154,7 @@ def _gram_scan_sharded(mesh, words_f, counts_f, B: int, Vp: int):
         jax.device_put(words_f, sh),
         jax.device_put(counts_f, sh),
     )
-    return jax.jit(_gram_finish)(Q, hhat)
+    return jax.jit(functools.partial(_gram_finish, norm=norm))(Q, hhat)
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
@@ -210,6 +238,7 @@ def spectral_init(
     verbose: bool = False,
     dtype=jnp.float32,
     mesh=None,
+    gram_norm: str = "none",
 ) -> np.ndarray:
     """Deterministic anchor-word beta initialization (K, V).
 
@@ -221,6 +250,11 @@ def spectral_init(
     With ``mesh`` (a 1-D document mesh), the N-dependent stage — the
     Gram accumulation — runs document-sharded with one (Vp, Vp) psum;
     anchor finding and L2 recovery are O(Vp^2) and run replicated.
+
+    ``gram_norm``: row normalization of Q — ``"none"`` (the reference's
+    actual behavior: its sklearn normalize call mutates a discarded
+    copy, default), ``"l1"`` (the Arora / R-stm conditional-
+    distribution semantics) or ``"l2"``.  See ``_gram_finish``.
     """
     if not isinstance(corpus, PaddedCorpus):
         corpus = pad_corpus(corpus, V=V)
@@ -253,7 +287,7 @@ def spectral_init(
         # honor the dtype parameter (the non-mesh branch casts inside
         # jnp.asarray); counts_f is float32 host-side by construction
         Q, row_sums = _gram_scan_sharded(
-            mesh, words_f, counts_f.astype(dtype), B, Vp
+            mesh, words_f, counts_f.astype(dtype), B, Vp, norm=gram_norm
         )
     else:
         n_chunks = -(-N // B)
@@ -262,7 +296,8 @@ def spectral_init(
             words_f = np.pad(words_f, ((0, N_pad - N), (0, 0)))
             counts_f = np.pad(counts_f, ((0, N_pad - N), (0, 0)))
         Q, row_sums = _gram_scan(
-            jnp.asarray(words_f), jnp.asarray(counts_f, dtype), n_chunks, Vp
+            jnp.asarray(words_f), jnp.asarray(counts_f, dtype), n_chunks, Vp,
+            norm=gram_norm,
         )
     if verbose:
         logger.info("spectral_init: gram done, finding %d anchors", K)

@@ -130,3 +130,19 @@ def test_blocked_cholesky_edge_sizes(P):
     np.testing.assert_allclose(
         eye, np.broadcast_to(np.eye(P, dtype=np.float32), eye.shape),
         atol=5e-3)
+
+
+def test_default_chol_block_k_scaled():
+    """0 = auto resolves 16 at K<=200 and 32 above (the K=400 sweep's
+    +23.4%, benchmarks/results_k400_finalize.json), and the block size
+    never changes the factorization beyond f32 rounding."""
+    from strutopy_tpu.ops.linalg import default_chol_block
+
+    assert default_chol_block(99) == 16
+    assert default_chol_block(199) == 16
+    assert default_chol_block(200) == 16
+    assert default_chol_block(399) == 32
+    H = _spd(2, 48, seed=77)
+    L16 = np.asarray(blocked_cholesky(H, block=16))
+    L32 = np.asarray(blocked_cholesky(H, block=32))
+    np.testing.assert_allclose(L16, L32, rtol=2e-4, atol=2e-5)

@@ -130,3 +130,56 @@ def test_fast_anchor_matches_reference_exactly(ref_modules):
     ref_anchor = ref_stm.fastAnchor(sp.csr_matrix(Q.copy()), K, verbose=False)
     ours = np.asarray(fast_anchor(jnp.asarray(Q, jnp.float32), K))
     np.testing.assert_array_equal(ours, ref_anchor.astype(np.int64))
+
+
+def test_gram_matches_reference_exactly(ref_modules):
+    """Pin the Gram matrix INCLUDING its (non-)normalization.
+
+    The reference's `gram` (stm.py:122-157) says "row normalized" but
+    its Q is CSC, so sklearn `normalize(Q, copy=False)` normalizes a
+    converted csr COPY whose return value is discarded — the Q it
+    actually hands to fastAnchor/recover_l2 is UNNORMALIZED.  With
+    row-sum (l1) normalization instead, the end-to-end spectral fits
+    measured 0.8-1.1 nats worse heldout
+    (results_quality_h2h_spectral.json; max |Q_l1 - Q_ref| = 0.68,
+    13/50 different wiki anchors — results_spectral_init_diag.json).
+    gram_norm="none" must reproduce the reference's Q to f32 rounding;
+    this test fails if either side's normalization changes.
+    """
+    import jax.numpy as jnp
+
+    from strutopy_tpu.ops.spectral import _gram_scan
+
+    ref_stm, _ = ref_modules
+    rng = np.random.default_rng(11)
+    N, V, L = 60, 25, 12
+    docs = []
+    for _ in range(N):
+        n_terms = rng.integers(3, L)
+        words = rng.choice(V, n_terms, replace=False)
+        counts = rng.integers(1, 5, n_terms)
+        docs.append([[int(w), int(c)] for w, c in zip(words, counts)])
+    dtm = ref_stm.create_dtm(corpus=docs)
+    if dtm.shape[1] < V:
+        import scipy.sparse as sp
+        dtm = sp.csr_matrix((dtm.data, dtm.indices, dtm.indptr),
+                            shape=(dtm.shape[0], V))
+    Q_ref = np.asarray(ref_stm.gram(dtm).todense())
+
+    words_p = np.zeros((N, L), np.int32)
+    counts_p = np.zeros((N, L), np.float32)
+    for i, doc in enumerate(docs):
+        for j, (w, c) in enumerate(doc):
+            words_p[i, j] = w
+            counts_p[i, j] = c
+    Q_none, _ = _gram_scan(jnp.asarray(words_p), jnp.asarray(counts_p),
+                           n_chunks=1, Vp=V, norm="none")
+    np.testing.assert_allclose(np.asarray(Q_none), Q_ref, atol=2e-6)
+
+    # the normalized variants must NOT match (guards against the
+    # reference's dead normalize call ever coming alive — e.g. scipy
+    # changing the product format to csr would make copy=False mutate)
+    for norm in ("l1", "l2"):
+        Q_n, _ = _gram_scan(jnp.asarray(words_p), jnp.asarray(counts_p),
+                            n_chunks=1, Vp=V, norm=norm)
+        assert np.abs(np.asarray(Q_n) - Q_ref).max() > 1e-3
