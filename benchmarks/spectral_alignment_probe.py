@@ -106,36 +106,51 @@ def stage_a(results):
     return results
 
 
-def _fit(corpus, vocab, X, temper, seed):
+def _fit(corpus, vocab, X, temper, seed, gram_norm="none"):
+    from strutopy_tpu.models.config import STMConfig
     from strutopy_tpu.models.stm import STM
 
     from quality_h2h import SEED
 
-    kw = {}
-    if temper is not None:
-        kw["likelihood_temper"] = temper
-    m = STM(
-        documents=corpus, dictionary=vocab, X=X[: len(corpus)],
-        K=K, init_type="spectral", model_type="STM", mode="ols",
+    import strutopy_tpu.models.stm as stm_mod
+    import strutopy_tpu.ops.spectral as spec_mod
+
+    def patched(corpus_, K_, V_=None, **kw):
+        kw["gram_norm"] = gram_norm
+        return spec_mod.spectral_init(corpus_, K_, V_, **kw)
+
+    stm_mod.spectral_init = patched
+
+    # mirror the STM kwargs path's defaults (two-pass on at >=10 iters)
+    # so the untempered cell reproduces spectral_device_ab's fits
+    cfg = STMConfig(
+        K=K, model_type="STM", mode="ols", init_type="spectral",
         max_em_iter=ITERS, convergence_threshold=1e-5,
-        seed=SEED if seed is None else seed, **kw,
+        newton_pass1_iters=6, newton_straggler_frac=0.25,
+        newton_warmup_iters=2,
+        likelihood_temper=1.0 if temper is None else temper,
+        seed=SEED if seed is None else seed,
     )
+    m = STM(documents=corpus, dictionary=vocab, X=X[: len(corpus)],
+            config=cfg)
     m.expectation_maximization(saving=False)
     return (np.asarray(m.beta, np.float64), np.asarray(m.theta, np.float64))
 
 
-def stage_bc(results, tempers=(None, 0.6)):
+def stage_bc(results, cells=((None, "none"), (0.6, "none"), (0.45, "none"),
+                             (0.3, "none"), (0.6, "l1"), (0.45, "l1"))):
     from quality_h2h import score
 
     docs, vocab, X, docs_beta, docs_theta, n_test1, test_2 = load()
-    for temper in tempers:
-        tag = "untempered" if temper is None else f"temper_{temper}"
+    for temper, norm in cells:
+        tag = ("untempered" if temper is None else f"temper_{temper}") + (
+            "" if norm == "none" else f"_{norm}")
         key = f"stageBC_fit_{tag}"
         if key in results:
             continue
         t0 = time.perf_counter()
-        beta_b, _ = _fit(docs_beta, vocab, X, temper, None)
-        beta_t, theta_t = _fit(docs_theta, vocab, X, temper, None)
+        beta_b, _ = _fit(docs_beta, vocab, X, temper, None, norm)
+        beta_t, theta_t = _fit(docs_theta, vocab, X, temper, None, norm)
         mean_cos, frac08 = greedy_match(beta_b, beta_t)
         entry = {
             "fitted_beta_mean_matched_cosine": mean_cos,
@@ -147,6 +162,54 @@ def stage_bc(results, tempers=(None, 0.6)):
         with open(OUT, "w") as f:
             json.dump(results, f, indent=2)
         print(key, json.dumps(entry), flush=True)
+    return results
+
+
+def stage_d(results):
+    """The capability cell: spectral init computed ONCE on the shared
+    `train` docs (both protocol corpora contain them; no completion-half
+    leakage), injected into BOTH fits via the public STM init_beta
+    kwarg.  This is what the reference cannot do without code edits —
+    its init is internal to STM.__init__ (stm.py:420-434) and recomputed
+    per corpus, so its two fits only stay aligned by virtue of the
+    damped-gradient bug freezing them near their (partially agreeing)
+    inits."""
+    from quality_h2h import SEED, score
+
+    from strutopy_tpu.models.stm import STM
+    from strutopy_tpu.ops.spectral import spectral_init
+
+    docs, vocab, X, docs_beta, docs_theta, n_test1, test_2 = load()
+    V = len(vocab)
+    # docs_beta = train + test, docs_theta = train + test_1 (same order)
+    train = docs_beta[: len(docs_theta) - n_test1]
+    key = "stageD_shared_train_init"
+    if key in results:
+        return results
+    t0 = time.perf_counter()
+    beta0 = np.asarray(spectral_init(train, K, V), np.float64)
+    init_s = time.perf_counter() - t0
+    betas, thetas = {}, {}
+    for tag, corpus in (("beta", docs_beta), ("theta", docs_theta)):
+        m = STM(documents=corpus, dictionary=vocab, X=X[: len(corpus)],
+                K=K, model_type="STM", mode="ols", init_beta=beta0,
+                max_em_iter=ITERS, convergence_threshold=1e-5, seed=SEED)
+        m.expectation_maximization(saving=False)
+        betas[tag] = np.asarray(m.beta, np.float64)
+        thetas[tag] = np.asarray(m.theta, np.float64)
+    mean_cos, frac08 = greedy_match(betas["beta"], betas["theta"])
+    entry = {
+        "init_seconds": round(init_s, 1),
+        "fitted_beta_mean_matched_cosine": mean_cos,
+        "fitted_beta_frac_cos_gt_0.8": frac08,
+        "seconds": round(time.perf_counter() - t0, 1),
+    }
+    entry.update(score(betas["beta"], thetas["theta"][-n_test1:], test_2,
+                       docs_beta))
+    results[key] = entry
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=2)
+    print(key, json.dumps(entry), flush=True)
     return results
 
 
@@ -162,6 +225,8 @@ def main():
             json.dump(results, f, indent=2)
     if "stageB" in stages or "stageC" in stages:
         results = stage_bc(results)
+    if "stageD" in stages:
+        results = stage_d(results)
     print("wrote", OUT, flush=True)
 
 

@@ -70,6 +70,7 @@ class STM:
         seed: int = 123456,
         beta_smoothing: float = 0.0,
         stream_parts: int = 0,
+        init_beta=None,
     ):
         if config is not None and seed != 123456 and config.seed != seed:
             # the explicit config wins over every kwarg; a conflicting
@@ -261,7 +262,26 @@ class STM:
 
         # ----- init -----
         np_rng = np.random.RandomState(config.seed)
-        if config.init_type == "spectral":
+        if init_beta is not None:
+            # explicit beta injection: shared-init completion protocols
+            # (two fits scored jointly stay topic-aligned when they
+            # start from ONE init — worth ~2.4 nats of completion
+            # heldout on wiki, results_spectral_alignment.json), warm
+            # starts from a prior model, or externally computed inits.
+            # The reference has no equivalent (its init is internal to
+            # STM.__init__, stm.py:420-434).
+            beta_init = np.asarray(init_beta, np.float64)
+            if beta_init.shape != (config.K, self.V):
+                raise ValueError(
+                    f"init_beta has shape {beta_init.shape}, expected "
+                    f"(K={config.K}, V={self.V})")
+            if not np.all(np.isfinite(beta_init)) or (beta_init < 0).any():
+                raise ValueError("init_beta must be finite and >= 0")
+            row = beta_init.sum(axis=1, keepdims=True)
+            if (row <= 0).any():
+                raise ValueError("init_beta has an all-zero topic row")
+            beta_init = beta_init / row
+        elif config.init_type == "spectral":
             from strutopy_tpu.parallel.mesh import VOCAB_AXIS
 
             spectral_mesh = (

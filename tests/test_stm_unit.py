@@ -660,3 +660,41 @@ def test_serving_raw_categorical_covariate(tmp_path, toy_corpus,
     theta_live, _ = model.transform(test_docs, X=x_new)
     theta_art, _ = infer_from_artifacts(str(tmp_path), test_docs, X=x_new)
     np.testing.assert_allclose(theta_art, theta_live, atol=2e-3)
+
+
+def test_stm_init_beta_injection(toy_corpus, toy_dictionary):
+    """Explicit init_beta overrides init_type and reproduces the fit a
+    model would produce from that init (shared-init completion
+    protocols, warm starts — results_spectral_alignment.json)."""
+    import pytest
+
+    train = toy_corpus.train_docs
+    V = len(toy_dictionary)
+    K = 3
+    rng = np.random.default_rng(5)
+    g = rng.gamma(0.1, 1.0, (K, V))
+    beta0 = g / g.sum(axis=1, keepdims=True)
+
+    kw = dict(documents=train, dictionary=toy_dictionary, K=K,
+              max_em_iter=2, model_type="CTM", seed=7)
+    m1 = STM(init_beta=beta0, **kw)
+    m1.expectation_maximization(saving=False)
+    # un-normalized input is normalized per row, not rejected
+    m2 = STM(init_beta=beta0 * 3.0, **kw)
+    m2.expectation_maximization(saving=False)
+    np.testing.assert_array_equal(np.asarray(m1.beta), np.asarray(m2.beta))
+    # differs from the random-init fit (the injection actually took)
+    m3 = STM(init_type="random", **kw)
+    m3.expectation_maximization(saving=False)
+    assert np.abs(np.asarray(m1.beta) - np.asarray(m3.beta)).max() > 1e-6
+
+    with pytest.raises(ValueError, match="shape"):
+        STM(init_beta=beta0[:, :-1], **kw)
+    bad = beta0.copy()
+    bad[0] = 0.0
+    with pytest.raises(ValueError, match="all-zero"):
+        STM(init_beta=bad, **kw)
+    bad = beta0.copy()
+    bad[0, 0] = -1.0
+    with pytest.raises(ValueError, match="finite"):
+        STM(init_beta=bad, **kw)
