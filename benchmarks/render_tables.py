@@ -116,6 +116,30 @@ def h2h_spectral():
                   f"**{e['heldout_delta_ours_minus_ref']:+.4f}** | | | | |")
 
 
+def alignment():
+    d = _load("results_spectral_alignment.json")
+    labels = {
+        "stageBC_fit_untempered":
+            "untempered, gram_norm=none (= the reference's exact init)",
+        "stageBC_fit_temper_0.6": "temper 0.6",
+        "stageBC_fit_temper_0.45": "temper 0.45",
+        "stageBC_fit_temper_0.3": "temper 0.3",
+        "stageBC_fit_temper_0.6_l1": "temper 0.6 + gram_norm=l1",
+        "stageBC_fit_temper_0.45_l1": "temper 0.45 + gram_norm=l1",
+        "stageD_shared_train_init":
+            "shared train-docs init via init_beta (untempered)",
+    }
+    print("| cell | fitted-beta matched cosine | heldout LL |")
+    print("|---|---|---|")
+    for key, label in labels.items():
+        if key not in d:
+            continue
+        r = d[key]
+        print(f"| {label} | {r['fitted_beta_mean_matched_cosine']:.3f} | "
+              f"{r['heldout_ll']:.3f} |")
+    print("| reference (its own fits, from the h2h) | — | **−8.564** |")
+
+
 def k400finalize():
     d = _load("results_k400_finalize.json")
     print("| finalize variant | docs/s | bound |")
@@ -132,4 +156,5 @@ def k400finalize():
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "serving"
     {"serving": serving, "h2h": h2h, "findk1m": findk1m,
-     "h2h_spectral": h2h_spectral, "k400finalize": k400finalize}[which]()
+     "h2h_spectral": h2h_spectral, "k400finalize": k400finalize,
+     "alignment": alignment}[which]()

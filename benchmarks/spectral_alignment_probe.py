@@ -213,6 +213,50 @@ def stage_d(results):
     return results
 
 
+def stage_d_synth(results):
+    """stage_d at the h2h's synth config (K=100, V=10k, N=4,096) — the
+    config where the per-corpus-init spectral h2h lost by 1.11 nats."""
+    from quality_h2h import SEED, make_synth, score, split_completion
+
+    from strutopy_tpu.models.stm import STM
+    from strutopy_tpu.ops.spectral import spectral_init
+
+    key = "stageD_shared_train_init_synth"
+    if key in results:
+        return results
+    k_synth = 100
+    docs, vocab, X = make_synth()
+    train, test, test_1, test_2 = split_completion(docs)
+    docs_beta, docs_theta = train + test, train + test_1
+    n_test1 = len(test_1)
+    V = len(vocab)
+    t0 = time.perf_counter()
+    beta0 = np.asarray(spectral_init(train, k_synth, V), np.float64)
+    init_s = time.perf_counter() - t0
+    betas, thetas = {}, {}
+    for tag, corpus in (("beta", docs_beta), ("theta", docs_theta)):
+        m = STM(documents=corpus, dictionary=vocab, X=X[: len(corpus)],
+                K=k_synth, model_type="STM", mode="ols", init_beta=beta0,
+                max_em_iter=ITERS, convergence_threshold=1e-5, seed=SEED)
+        m.expectation_maximization(saving=False)
+        betas[tag] = np.asarray(m.beta, np.float64)
+        thetas[tag] = np.asarray(m.theta, np.float64)
+    mean_cos, frac08 = greedy_match(betas["beta"], betas["theta"])
+    entry = {
+        "init_seconds": round(init_s, 1),
+        "fitted_beta_mean_matched_cosine": mean_cos,
+        "fitted_beta_frac_cos_gt_0.8": frac08,
+        "seconds": round(time.perf_counter() - t0, 1),
+    }
+    entry.update(score(betas["beta"], thetas["theta"][-n_test1:], test_2,
+                       docs_beta))
+    results[key] = entry
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=2)
+    print(key, json.dumps(entry), flush=True)
+    return results
+
+
 def main():
     results = {}
     if os.path.exists(OUT):
@@ -227,6 +271,8 @@ def main():
         results = stage_bc(results)
     if "stageD" in stages:
         results = stage_d(results)
+    if "stageDsynth" in stages:
+        results = stage_d_synth(results)
     print("wrote", OUT, flush=True)
 
 
