@@ -118,7 +118,7 @@ def h2h_spectral():
 
 def alignment():
     d = _load("results_spectral_alignment.json")
-    labels = {
+    wiki = {
         "stageBC_fit_untempered":
             "untempered, gram_norm=none (= the reference's exact init)",
         "stageBC_fit_temper_0.6": "temper 0.6",
@@ -129,15 +129,24 @@ def alignment():
         "stageD_shared_train_init":
             "shared train-docs init via init_beta (untempered)",
     }
-    print("| cell | fitted-beta matched cosine | heldout LL |")
-    print("|---|---|---|")
-    for key, label in labels.items():
-        if key not in d:
-            continue
-        r = d[key]
-        print(f"| {label} | {r['fitted_beta_mean_matched_cosine']:.3f} | "
-              f"{r['heldout_ll']:.3f} |")
-    print("| reference (its own fits, from the h2h) | — | **−8.564** |")
+    synth = {
+        "stageD_shared_train_init_synth":
+            "shared train-docs init via init_beta (untempered)",
+        "stageD_shared_train_init_synth_temper_0.6":
+            "shared train-docs init + temper 0.6",
+    }
+    for title, labels, ref in (("wiki K=50", wiki, "−8.564"),
+                               ("synth K=100 N=4,096", synth, "−9.113")):
+        print(f"\n{title}:\n")
+        print("| cell | fitted-beta matched cosine | heldout LL |")
+        print("|---|---|---|")
+        for key, label in labels.items():
+            if key not in d:
+                continue
+            r = d[key]
+            print(f"| {label} | {r['fitted_beta_mean_matched_cosine']:.3f} | "
+                  f"{r['heldout_ll']:.3f} |")
+        print(f"| reference (its own fits, from the h2h) | — | {ref} |")
 
 
 def k400finalize():

@@ -22,7 +22,12 @@ fit-quality gap.  This script measures where the alignment is lost:
 Writes benchmarks/results_spectral_alignment.json incrementally.
 CPU-only.
 
-Usage: python benchmarks/spectral_alignment_probe.py [stageA|stageB|stageC]
+Usage (cwd must be the repo root):
+  python benchmarks/spectral_alignment_probe.py [stageA|stageB|stageC|stageD|stageDsynth]
+
+stageD / stageDsynth measure the init_beta capability: spectral init
+computed once on the shared train docs, injected into both fits via
+the public STM kwarg (wiki K=50 / the h2h synth config).
 """
 
 import json
@@ -213,17 +218,18 @@ def stage_d(results):
     return results
 
 
-def stage_d_synth(results):
+def stage_d_synth(results, tempers=(None, 0.6)):
     """stage_d at the h2h's synth config (K=100, V=10k, N=4,096) — the
-    config where the per-corpus-init spectral h2h lost by 1.11 nats."""
+    config where the per-corpus-init spectral h2h lost by 1.11 nats.
+    Also measures temper on top of the shared init (the two responses
+    compose: shared init supplies alignment at iteration 0, tempering
+    preserves it through the fit)."""
     from quality_h2h import SEED, make_synth, score, split_completion
 
+    from strutopy_tpu.models.config import STMConfig
     from strutopy_tpu.models.stm import STM
     from strutopy_tpu.ops.spectral import spectral_init
 
-    key = "stageD_shared_train_init_synth"
-    if key in results:
-        return results
     k_synth = 100
     docs, vocab, X = make_synth()
     train, test, test_1, test_2 = split_completion(docs)
@@ -233,27 +239,39 @@ def stage_d_synth(results):
     t0 = time.perf_counter()
     beta0 = np.asarray(spectral_init(train, k_synth, V), np.float64)
     init_s = time.perf_counter() - t0
-    betas, thetas = {}, {}
-    for tag, corpus in (("beta", docs_beta), ("theta", docs_theta)):
-        m = STM(documents=corpus, dictionary=vocab, X=X[: len(corpus)],
-                K=k_synth, model_type="STM", mode="ols", init_beta=beta0,
-                max_em_iter=ITERS, convergence_threshold=1e-5, seed=SEED)
-        m.expectation_maximization(saving=False)
-        betas[tag] = np.asarray(m.beta, np.float64)
-        thetas[tag] = np.asarray(m.theta, np.float64)
-    mean_cos, frac08 = greedy_match(betas["beta"], betas["theta"])
-    entry = {
-        "init_seconds": round(init_s, 1),
-        "fitted_beta_mean_matched_cosine": mean_cos,
-        "fitted_beta_frac_cos_gt_0.8": frac08,
-        "seconds": round(time.perf_counter() - t0, 1),
-    }
-    entry.update(score(betas["beta"], thetas["theta"][-n_test1:], test_2,
-                       docs_beta))
-    results[key] = entry
-    with open(OUT, "w") as f:
-        json.dump(results, f, indent=2)
-    print(key, json.dumps(entry), flush=True)
+    for temper in tempers:
+        key = "stageD_shared_train_init_synth" + (
+            "" if temper is None else f"_temper_{temper}")
+        if key in results:
+            continue
+        t1 = time.perf_counter()
+        betas, thetas = {}, {}
+        cfg = STMConfig(
+            K=k_synth, model_type="STM", mode="ols",
+            max_em_iter=ITERS, convergence_threshold=1e-5,
+            newton_pass1_iters=6, newton_straggler_frac=0.25,
+            newton_warmup_iters=2,
+            likelihood_temper=1.0 if temper is None else temper,
+            seed=SEED)
+        for tag, corpus in (("beta", docs_beta), ("theta", docs_theta)):
+            m = STM(documents=corpus, dictionary=vocab, X=X[: len(corpus)],
+                    config=cfg, init_beta=beta0)
+            m.expectation_maximization(saving=False)
+            betas[tag] = np.asarray(m.beta, np.float64)
+            thetas[tag] = np.asarray(m.theta, np.float64)
+        mean_cos, frac08 = greedy_match(betas["beta"], betas["theta"])
+        entry = {
+            "init_seconds": round(init_s, 1),
+            "fitted_beta_mean_matched_cosine": mean_cos,
+            "fitted_beta_frac_cos_gt_0.8": frac08,
+            "seconds": round(time.perf_counter() - t1, 1),
+        }
+        entry.update(score(betas["beta"], thetas["theta"][-n_test1:], test_2,
+                           docs_beta))
+        results[key] = entry
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=2)
+        print(key, json.dumps(entry), flush=True)
     return results
 
 
