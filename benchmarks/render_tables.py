@@ -134,6 +134,10 @@ def alignment():
             "shared train-docs init via init_beta (untempered)",
         "stageD_shared_train_init_synth_temper_0.6":
             "shared train-docs init + temper 0.6",
+        "stageD_shared_train_init_synth_temper_0.45":
+            "shared train-docs init + temper 0.45",
+        "stageD_shared_train_init_synth_temper_0.3":
+            "shared train-docs init + temper 0.3",
     }
     for title, labels, ref in (("wiki K=50", wiki, "−8.564"),
                                ("synth K=100 N=4,096", synth, "−9.113")):

@@ -218,7 +218,7 @@ def stage_d(results):
     return results
 
 
-def stage_d_synth(results, tempers=(None, 0.6)):
+def stage_d_synth(results, tempers=(None, 0.6, 0.45, 0.3)):
     """stage_d at the h2h's synth config (K=100, V=10k, N=4,096) — the
     config where the per-corpus-init spectral h2h lost by 1.11 nats.
     Also measures temper on top of the shared init (the two responses
