@@ -43,7 +43,11 @@ class STM:
 
     ``documents`` may be the reference's BoW list-of-tuples or a
     :class:`PaddedCorpus`.  Pass ``mesh`` (a 1-D ``jax.sharding.Mesh``)
-    to shard documents across devices.
+    to shard documents across devices.  ``init_beta`` injects an
+    explicit (K, V) initialization (overrides ``init_type``; warm
+    starts and shared-init protocols — docs/TUNING.md); advanced knobs
+    (``likelihood_temper``, ``kappa_ftol_rel``, Newton schedule, …)
+    live on :class:`STMConfig` via ``config=``.
     """
 
     def __init__(
